@@ -1,0 +1,164 @@
+"""Shared experiment configuration.
+
+The reference duplicates ~120 lines of argparse flags in each of its six CLI
+drivers (reference: train.py:315-404, train_adapt.py:258-346, val.py, ...).
+Here a single dataclass holds the union of that flag surface; each CLI driver
+overlays it with argparse using the same flag names, so reference command
+lines keep working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # --- model (reference: train_adapt.py:259-263) ---
+    backbone: str = "mobilenet"
+    out_stride: int = 16
+    num_classes: int = 19
+    freeze_bn: bool = False
+    sync_bn: Optional[bool] = None  # auto: True iff >1 device (train.py:413-417)
+
+    # --- dataset / paths (reference: train_adapt.py:264-283) ---
+    dataset: str = "gtav2cityscapes"  # or 'gtav' (source-only)
+    src_img_root: str = ""
+    src_label_root: str = ""
+    tgt_img_root: str = ""
+    val_img_root: str = ""
+    val_label_root: str = ""
+    test_img_root: str = ""
+    test_label_root: str = ""
+    workers: int = 4
+    base_size: int = 512
+    crop_size: int = 512
+
+    # --- loss (reference: train_adapt.py:294-298) ---
+    loss_type: str = "ce"  # 'ce' | 'focal'
+    use_balanced_weights: bool = False
+    no_d_loss: bool = False
+
+    # --- training hyper-params (reference: train_adapt.py:300-325) ---
+    epochs: int = 200
+    start_epoch: int = 0
+    batch_size: int = 4
+    test_batch_size: int = 1
+    optimizer: str = "SGD"  # train.py supports 'SGD'|'Adam' (train.py:63-82)
+    lr: float = 5e-4
+    lr_scheduler: str = "poly"  # 'poly' | 'step' | 'cos'
+    lr_step: int = 0
+    warmup_epochs: int = 0
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    nesterov: bool = False
+
+    # --- devices / precision (TPU-native; replaces --no-cuda/--gpu-ids) ---
+    num_devices: Optional[int] = None  # default: all local devices
+    precision: str = "bf16"  # 'bf16' compute / f32 params, or 'f32'
+    seed: int = 1
+
+    # --- checkpointing (reference: train_adapt.py:334-341) ---
+    resume: Optional[str] = None
+    checkname: Optional[str] = None
+    ft: bool = True  # reference default (train.py:398): optimizer state NOT restored
+    run_root: str = "run"
+
+    # --- evaluation (reference: train_adapt.py:343-346) ---
+    eval_interval: int = 1
+    no_val: bool = False
+
+    # --- faithful-quirk switches (reference behaviors preserved by default,
+    #     see SURVEY.md §2.6; flip to fix) ---
+    # F.softmax(output, dim=0) over the *batch* axis feeding the output-space
+    # discriminator (reference: train_adapt.py:151,166,174).  'batch' is the
+    # faithful setting; 'class' is the AdaptSegNet-correct one.
+    adv_softmax_axis: str = "batch"
+    # drop_last=True on val/test loaders silently drops tail images
+    # (reference: dataloders/__init__.py:12-13).
+    val_drop_last: bool = True
+
+    def __post_init__(self):
+        if self.checkname is None:
+            self.checkname = "deeplab-" + str(self.backbone)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        d = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def _str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def add_common_flags(parser: argparse.ArgumentParser) -> None:
+    """Register the reference's shared flag surface on an argparse parser.
+
+    Flag names and defaults mirror reference train_adapt.py:258-346; flags the
+    reference spells with dashes (--out-stride) keep the dashed spelling.
+    """
+    d = Config()
+    p = parser
+    p.add_argument("--backbone", type=str, default=d.backbone, choices=["mobilenet"])
+    p.add_argument("--out-stride", type=int, default=d.out_stride, dest="out_stride")
+    p.add_argument("--dataset", type=str, default=d.dataset,
+                   choices=["gtav2cityscapes", "gtav", "synthetic"])
+    p.add_argument("--src_img_root", type=str, default=d.src_img_root)
+    p.add_argument("--src_label_root", type=str, default=d.src_label_root)
+    p.add_argument("--tgt_img_root", type=str, default=d.tgt_img_root)
+    p.add_argument("--val_img_root", type=str, default=d.val_img_root)
+    p.add_argument("--val_label_root", type=str, default=d.val_label_root)
+    p.add_argument("--test_img_root", type=str, default=d.test_img_root)
+    p.add_argument("--test_label_root", type=str, default=d.test_label_root)
+    p.add_argument("--workers", type=int, default=d.workers, metavar="N")
+    p.add_argument("--base-size", type=int, default=d.base_size, dest="base_size")
+    p.add_argument("--crop-size", type=int, default=d.crop_size, dest="crop_size")
+    p.add_argument("--sync-bn", type=_str2bool, default=None, dest="sync_bn")
+    p.add_argument("--freeze-bn", type=_str2bool, default=d.freeze_bn, dest="freeze_bn")
+    p.add_argument("--loss-type", type=str, default=d.loss_type,
+                   choices=["ce", "focal"], dest="loss_type")
+    p.add_argument("--no_d_loss", type=_str2bool, default=d.no_d_loss)
+    p.add_argument("--epochs", type=int, default=d.epochs, metavar="N")
+    p.add_argument("--optimizer", type=str, default=d.optimizer)
+    p.add_argument("--start_epoch", type=int, default=d.start_epoch, metavar="N")
+    p.add_argument("--batch-size", type=int, default=d.batch_size, dest="batch_size")
+    p.add_argument("--test-batch-size", type=int, default=d.test_batch_size,
+                   dest="test_batch_size")
+    p.add_argument("--lr", type=float, default=d.lr, metavar="LR")
+    p.add_argument("--lr-scheduler", type=str, default=d.lr_scheduler,
+                   choices=["poly", "step", "cos"], dest="lr_scheduler")
+    p.add_argument("--momentum", type=float, default=d.momentum, metavar="M")
+    p.add_argument("--weight-decay", type=float, default=d.weight_decay,
+                   dest="weight_decay", metavar="M")
+    p.add_argument("--nesterov", action="store_true", default=d.nesterov)
+    p.add_argument("--use_balanced_weights", action="store_true",
+                   default=d.use_balanced_weights)
+    p.add_argument("--num-devices", type=int, default=None, dest="num_devices")
+    p.add_argument("--precision", type=str, default=d.precision,
+                   choices=["bf16", "f32"])
+    p.add_argument("--seed", type=int, default=d.seed, metavar="S")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--checkname", type=str, default=None)
+    p.add_argument("--ft", action="store_true", default=d.ft)
+    p.add_argument("--eval-interval", type=int, default=d.eval_interval,
+                   dest="eval_interval")
+    p.add_argument("--no-val", action="store_true", default=d.no_val, dest="no_val")
+    p.add_argument("--run-root", type=str, default=d.run_root, dest="run_root")
+    p.add_argument("--adv-softmax-axis", type=str, default=d.adv_softmax_axis,
+                   choices=["batch", "class"], dest="adv_softmax_axis")
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    known = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in known})

@@ -1,0 +1,56 @@
+"""Device mesh + sharding helpers.
+
+The reference's entire distributed substrate is single-process
+nn.DataParallel with a thread-queue synchronized BatchNorm
+(reference: modeling/sync_batchnorm/{batchnorm,comm,replicate}.py).
+
+The TPU-native equivalent is SPMD over a jax.sharding.Mesh: the train step is
+jitted once, the batch dimension carries a NamedSharding over the 'data' axis,
+and every global reduction in the traced program (gradient means, BatchNorm
+batch statistics) lowers to an XLA psum over ICI.  There is no replication
+callback, no master/slave rendezvous, and no per-layer host synchronization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over local devices.
+
+    Spatial/model axes can be added later by reshaping the device array; the
+    reference scope is pure data parallelism (SURVEY.md §2.2).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a [N, ...] array's leading (batch) dimension over the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,30 @@
+"""Model zoo (parity map in SURVEY.md §2.1).
+
+Factories mirror the reference's build_* entry points
+(modeling/backbone/__init__.py:3, assp.py:94, decoder.py:56, domian.py:46).
+"""
+
+from s2r_tpu.models.aspp import ASPP
+from s2r_tpu.models.decoder import Decoder
+from s2r_tpu.models.deeplab import DeepLab
+from s2r_tpu.models.discriminator import FCDiscriminator
+from s2r_tpu.models.domain import DomainClassifier
+from s2r_tpu.models.mobilenet import MobileNetV2
+
+
+def build_backbone(backbone: str, output_stride: int, dtype):
+    if backbone == "mobilenet":
+        return MobileNetV2(output_stride=output_stride, dtype=dtype)
+    raise NotImplementedError(backbone)
+
+
+def build_aspp(backbone: str, output_stride: int, dtype):
+    return ASPP(backbone=backbone, output_stride=output_stride, dtype=dtype)
+
+
+def build_decoder(num_classes: int, backbone: str, dtype):
+    return Decoder(num_classes=num_classes, backbone=backbone, dtype=dtype)
+
+
+def build_domaincls(backbone: str, dtype):
+    return DomainClassifier(backbone=backbone, dtype=dtype)

@@ -1,0 +1,52 @@
+"""DeepLab-V3+ composite: backbone -> ASPP -> decoder -> full-res upsample.
+
+Capability parity with reference modeling/deeplab.py:9-72.  The composite
+also exposes the ASPP feature map, which the feature-space adaption method
+feeds to the domain classifier (reference: train.py:182-196) — under jit the
+extra output is dead-code-eliminated when unused.
+
+The reference's 1x/10x LR split (deeplab.py:42-72: backbone params at base LR,
+ASPP+decoder at 10x) is reproduced structurally: params live under top-level
+keys 'backbone' / 'aspp' / 'decoder', and s2r_tpu.train.optim builds the LR
+multiplier tree from those keys.
+
+`freeze_bn` (deeplab.py:35-40) makes every BatchNorm use running statistics
+even in training.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from s2r_tpu.models.aspp import ASPP
+from s2r_tpu.models.decoder import Decoder
+from s2r_tpu.models.mobilenet import MobileNetV2
+from s2r_tpu.ops.resize import resize_bilinear_align_corners
+
+
+class DeepLab(nn.Module):
+    backbone: str = "mobilenet"
+    output_stride: int = 16
+    num_classes: int = 19
+    freeze_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [N, H, W, 3] -> (logits [N, H, W, C] float32, aspp feature)."""
+        if self.backbone != "mobilenet":
+            raise NotImplementedError(self.backbone)
+        bn_train = train and not self.freeze_bn
+        high, low = MobileNetV2(output_stride=self.output_stride,
+                                dtype=self.dtype, name="backbone")(x, bn_train)
+        feat = ASPP(backbone=self.backbone, output_stride=self.output_stride,
+                    dtype=self.dtype, name="aspp")(high, bn_train)
+        logits = Decoder(num_classes=self.num_classes, backbone=self.backbone,
+                         dtype=self.dtype, name="decoder")(feat, low, bn_train)
+        logits = resize_bilinear_align_corners(logits, x.shape[1:3],
+                                               dtype=jnp.float32)
+        return logits, feat

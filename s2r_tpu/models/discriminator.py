@@ -1,0 +1,34 @@
+"""Fully-convolutional output-space discriminator (AdaptSegNet-style).
+
+Capability parity with reference modeling/discriminator.py:6-35: five 4x4
+stride-2 convs 19 -> 64 -> 128 -> 256 -> 512 -> 1 with LeakyReLU(0.2) between;
+no BatchNorm, no sigmoid (paired with BCE-with-logits).  The reference never
+re-initializes this module, so convs use torch's default init.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from s2r_tpu.models.layers import Conv2d, leaky_relu
+
+
+class FCDiscriminator(nn.Module):
+    num_classes: int = 19
+    ndf: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, H, W, num_classes] -> logits [N, H/32, W/32, 1]."""
+        widths = (self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8)
+        for i, w in enumerate(widths):
+            x = Conv2d(w, 4, stride=2, padding=1, use_bias=True,
+                       weight_init="torch_default", dtype=self.dtype,
+                       name=f"conv{i + 1}")(x)
+            x = leaky_relu(x, 0.2)
+        x = Conv2d(1, 4, stride=2, padding=1, use_bias=True,
+                   weight_init="torch_default", dtype=self.dtype,
+                   name="classifier")(x)
+        return x

@@ -1,0 +1,174 @@
+"""NHWC primitive layers with torch-compatible initialization and semantics.
+
+These are the building blocks of the model zoo.  Initialization mirrors the
+reference so that training dynamics match:
+- `kaiming_normal`: torch.nn.init.kaiming_normal_ with defaults
+  (fan_in, leaky_relu a=0 => std = sqrt(2/fan_in)); used by every module that
+  calls `_init_weight` (reference: mobilenet.py:134-145, assp.py:80-91,
+  decoder.py:45-54, domian.py:35-44).
+- `torch_default`: torch Conv2d.reset_parameters (kaiming_uniform a=sqrt(5)
+  => U(+-1/sqrt(fan_in)) for weight and bias); used by FCDiscriminator, which
+  never re-initializes (reference: discriminator.py:6-35).
+
+BatchNorm reproduces torch BatchNorm2d / the vendored SynchronizedBatchNorm2d
+statistics rules (reference: modeling/sync_batchnorm/batchnorm.py:113-125):
+biased variance for normalization, unbiased for the running estimate,
+`running = (1 - momentum) * running + momentum * batch` with momentum 0.1.
+
+Cross-replica synchronization is implicit: under a jitted, batch-sharded
+(GSPMD) train step, jnp.mean over the batch axis IS the global mean — XLA
+inserts the ICI all-reduce.  This single module therefore covers both the
+reference's nn.BatchNorm2d and its entire sync_batchnorm/ package.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Dtype = jnp.dtype
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def kaiming_normal_conv_init(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_ for an HWIO conv kernel: N(0, 2/fan_in)."""
+    kh, kw, in_pg, _ = shape
+    fan_in = kh * kw * in_pg
+    std = (2.0 / fan_in) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def torch_default_conv_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default weight init: U(+-1/sqrt(fan_in))."""
+    kh, kw, in_pg, _ = shape
+    bound = 1.0 / (kh * kw * in_pg) ** 0.5
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class Conv2d(nn.Module):
+    """2-D convolution on NHWC inputs with an HWIO kernel.
+
+    `padding` is a symmetric int per spatial dim (torch-style).  The
+    reference's `fixed_padding` (mobilenet.py:17-23) always produces the
+    symmetric pad (d, d) for its 3x3 kernels, so a plain symmetric pad is
+    exact.  Accumulation runs in f32 on the MXU regardless of compute dtype.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = False
+    weight_init: str = "kaiming_normal"  # or 'torch_default'
+    dtype: Dtype = jnp.float32  # compute dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0, (in_ch, self.groups)
+        kshape = (kh, kw, in_ch // self.groups, self.features)
+        init = {"kaiming_normal": kaiming_normal_conv_init,
+                "torch_default": torch_default_conv_init}[self.weight_init]
+        kernel = self.param("kernel", init, kshape)
+        ph, pw = _pair(self.padding)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=_pair(self.stride),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=_pair(self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            fan_in = kh * kw * (in_ch // self.groups)
+            bound = 1.0 / fan_in ** 0.5
+
+            def bias_init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            bias = self.param("bias", bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y.astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch statistics semantics (see module docstring).
+
+    Train mode normalizes with biased batch variance computed in f32 over
+    (N, H, W) and updates running stats; eval mode uses running stats.
+    Under GSPMD data parallelism the batch reductions are global (synced).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            mean2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                # Unbiased variance feeds the running estimate
+                # (reference: batchnorm.py:113-125).
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        inv = lax.rsqrt(var + self.eps) * scale
+        y = (x32 - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def relu6(x):
+    return jnp.clip(x, 0, 6)
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class Dropout(nn.Module):
+    """Element-wise dropout (reference uses nn.Dropout, not Dropout2d)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))

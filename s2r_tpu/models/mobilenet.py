@@ -1,0 +1,127 @@
+"""MobileNetV2 backbone with atrous (dilated) depthwise-separable convs.
+
+Capability parity with reference modeling/backbone/mobilenet.py:9-145:
+- stem: 3x3 stride-2 conv + BN + ReLU6 (conv_bn, mobilenet.py:9-14)
+- 17 InvertedResidual blocks per the (t, c, n, s) table (mobilenet.py:78-87)
+- output_stride 16 (default) or 8: once the running stride reaches the target,
+  later stages switch to stride 1 and accumulate dilation (mobilenet.py:94-102)
+- returns (high_level [N,H/os,W/os,320], low_level [N,H/4,W/4,24]); the low
+  split is after block 3 (mobilenet.py:116-117)
+
+TPU-native notes:
+- NHWC + HWIO; depthwise convs via feature_group_count=channels.
+- The reference's `fixed_padding` before each block (mobilenet.py:62-63) pads
+  the block *input* and runs the 1x1 expand conv over the padded ring; since
+  the expand conv is bias-free, that ring is zeros and the computation is
+  identical to padding only the depthwise conv symmetrically by `dilation` —
+  which is what we do.  (Only train-mode BN statistics see a microscopic
+  difference from the zero ring; eval-mode logits are bit-identical.)
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from s2r_tpu.models.layers import BatchNorm, Conv2d, relu6
+
+# (expand_ratio t, out_channels c, repeats n, stride s) — mobilenet.py:78-87.
+INVERTED_RESIDUAL_SETTING = (
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+)
+
+# Index of the last block included in the low-level feature path
+# (reference takes features[0:4]: stem + 3 blocks — mobilenet.py:116).
+LOW_LEVEL_SPLIT = 3
+
+
+def block_plan(output_stride: int, width_mult: float = 1.0):
+    """Static per-block (in_ch, out_ch, stride, dilation, expand) plan.
+
+    Reproduces the stride/dilation bookkeeping of mobilenet.py:77-109: once
+    the cumulative stride hits `output_stride`, subsequent stages use stride 1
+    and the *previous* rate as dilation, multiplying the rate by the stage's
+    nominal stride.
+    """
+    plan = []
+    input_channel = int(32 * width_mult)
+    current_stride = 2  # after stem
+    rate = 1
+    for t, c, n, s in INVERTED_RESIDUAL_SETTING:
+        if current_stride == output_stride:
+            stride, dilation = 1, rate
+            rate *= s
+        else:
+            stride, dilation = s, 1
+            current_stride *= s
+        out_ch = int(c * width_mult)
+        for i in range(n):
+            plan.append((input_channel, out_ch, stride if i == 0 else 1,
+                         dilation, t))
+            input_channel = out_ch
+    return plan
+
+
+class InvertedResidual(nn.Module):
+    """[1x1 expand + BN + ReLU6] -> 3x3 depthwise (stride/dilation) + BN +
+    ReLU6 -> 1x1 project + BN, with identity residual when stride==1 and
+    in==out (reference: mobilenet.py:26-68)."""
+
+    out_ch: int
+    stride: int
+    dilation: int
+    expand_ratio: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        hidden = int(round(in_ch * self.expand_ratio))
+        use_res = self.stride == 1 and in_ch == self.out_ch
+        y = x
+        if self.expand_ratio != 1:
+            y = Conv2d(hidden, 1, dtype=self.dtype, name="expand_conv")(y)
+            y = BatchNorm(dtype=self.dtype, name="expand_bn")(y, not train)
+            y = relu6(y)
+        y = Conv2d(hidden, 3, stride=self.stride, padding=self.dilation,
+                   dilation=self.dilation, groups=hidden, dtype=self.dtype,
+                   name="dw_conv")(y)
+        y = BatchNorm(dtype=self.dtype, name="dw_bn")(y, not train)
+        y = relu6(y)
+        y = Conv2d(self.out_ch, 1, dtype=self.dtype, name="project_conv")(y)
+        y = BatchNorm(dtype=self.dtype, name="project_bn")(y, not train)
+        return x + y if use_res else y
+
+
+class MobileNetV2(nn.Module):
+    output_stride: int = 16
+    width_mult: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [N, H, W, 3] -> (high [N,H/os,W/os,320], low [N,H/4,W/4,24])."""
+        stem_ch = int(32 * self.width_mult)
+        y = Conv2d(stem_ch, 3, stride=2, padding=1, dtype=self.dtype,
+                   name="features_0_conv")(x)
+        y = BatchNorm(dtype=self.dtype, name="features_0_bn")(y, not train)
+        y = relu6(y)
+
+        low = None
+        for i, (_, out_ch, stride, dilation, t) in enumerate(
+                block_plan(self.output_stride, self.width_mult)):
+            y = InvertedResidual(out_ch=out_ch, stride=stride,
+                                 dilation=dilation, expand_ratio=t,
+                                 dtype=self.dtype,
+                                 name=f"features_{i + 1}")(y, train)
+            if i == LOW_LEVEL_SPLIT - 1:
+                low = y
+        return y, low

@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2r_tpu.models import (ASPP, Decoder, DeepLab, DomainClassifier,
+                            FCDiscriminator, MobileNetV2)
+
+
+def test_mobilenet_shapes_os16():
+    # Mirrors the reference smoke block (mobilenet.py:147-152).
+    m = MobileNetV2(output_stride=16)
+    x = jnp.zeros((1, 512, 512, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, False)
+    high, low = m.apply(vars_, x, False)
+    assert high.shape == (1, 32, 32, 320)
+    assert low.shape == (1, 128, 128, 24)
+
+
+def test_mobilenet_shapes_os8():
+    m = MobileNetV2(output_stride=8)
+    x = jnp.zeros((1, 256, 256, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, False)
+    high, low = m.apply(vars_, x, False)
+    assert high.shape == (1, 32, 32, 320)
+    assert low.shape == (1, 64, 64, 24)
+
+
+def test_aspp_shapes():
+    # Mirrors assp.py:97-103.
+    m = ASPP(output_stride=16)
+    x = jnp.zeros((2, 32, 32, 320))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+    y = m.apply(vars_, x, False)
+    assert y.shape == (2, 32, 32, 256)
+
+
+def test_decoder_shapes():
+    # Mirrors decoder.py:59-66.
+    m = Decoder(num_classes=19)
+    x = jnp.zeros((1, 32, 32, 256))
+    low = jnp.zeros((1, 128, 128, 24))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x, low, False)
+    y = m.apply(vars_, x, low, False)
+    assert y.shape == (1, 128, 128, 19)
+
+
+def test_deeplab_full_forward():
+    # Mirrors deeplab.py:74-79 (1280x640 full forward, non-square).
+    m = DeepLab(output_stride=16)
+    x = jnp.zeros((1, 640, 1280, 3))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+    logits, feat = m.apply(vars_, x, False)
+    assert logits.shape == (1, 640, 1280, 19)
+    assert feat.shape == (1, 40, 80, 256)
+    assert logits.dtype == jnp.float32
+
+
+def test_discriminator_shapes():
+    # Mirrors discriminator.py:37-42.
+    m = FCDiscriminator(num_classes=19)
+    x = jnp.zeros((1, 512, 512, 19))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (1, 16, 16, 1)
+
+
+def test_domain_classifier_shapes():
+    # Mirrors domian.py:49-55.
+    m = DomainClassifier()
+    x = jnp.zeros((1, 32, 32, 256))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+    y = m.apply(vars_, x, False)
+    assert y.shape == (1, 32, 32, 2)
+
+
+def test_deeplab_train_mode_mutates_batch_stats_and_dropout():
+    m = DeepLab(output_stride=16)
+    x = jnp.ones((2, 64, 64, 3))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+    (logits, _), updated = m.apply(
+        vars_, x, True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    # running stats moved away from init
+    leaf = updated["batch_stats"]["backbone"]["features_0_bn"]["mean"]
+    assert float(jnp.abs(leaf).sum()) > 0
+
+    # dropout: two different rngs -> different logits in train mode
+    (l2, _), _ = m.apply(vars_, x, True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(logits), np.asarray(l2))
+
+
+def test_deeplab_param_partitions():
+    m = DeepLab()
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+    assert set(vars_["params"].keys()) == {"backbone", "aspp", "decoder"}

@@ -1,0 +1,135 @@
+"""Train-step tests: each method runs jitted, updates params/stats, and the
+sharded 8-device execution matches single-device execution bit-for-bit-ish
+(this is the sync-BN + gradient-allreduce equivalence test)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2r_tpu.config import Config
+from s2r_tpu.core.mesh import make_mesh, replicate, shard_batch
+from s2r_tpu.train.setup import build_method
+
+HW = 64
+N = 8
+
+
+def _cfg(**kw):
+    base = dict(crop_size=HW, base_size=HW, epochs=2, batch_size=N,
+                precision="f32", lr=0.01)
+    base.update(kw)
+    return Config(**base)
+
+
+def _adapt_batch(rng):
+    return {
+        "src_image": jnp.asarray(rng.randn(N, HW, HW, 3), jnp.float32),
+        "src_label": jnp.asarray(rng.randint(0, 19, (N, HW, HW)), jnp.int32),
+        "tgt_image": jnp.asarray(rng.randn(N, HW, HW, 3), jnp.float32),
+    }
+
+
+def _source_batch(rng):
+    return {
+        "image": jnp.asarray(rng.randn(N, HW, HW, 3), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 19, (N, HW, HW)), jnp.int32),
+    }
+
+
+@pytest.mark.parametrize("method,batch_fn", [
+    ("output_adapt", _adapt_batch),
+    ("feature_adapt", _adapt_batch),
+    ("source_only", _source_batch),
+])
+def test_step_runs_and_updates(method, batch_fn):
+    cfg = _cfg()
+    m = build_method(cfg, iters_per_epoch=10, method=method)
+    state = m.init_state(jax.random.PRNGKey(0))
+    batch = batch_fn(np.random.RandomState(0))
+    step = jax.jit(m.step_fn)
+    new_state, metrics = step(state, batch)
+
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    # params actually moved
+    def l2diff(a, b):
+        return sum(float(jnp.sum((x - y) ** 2)) for x, y in
+                   zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    assert l2diff(state.params, new_state.params) > 0
+    assert l2diff(state.batch_stats, new_state.batch_stats) > 0
+    if method == "source_only":
+        # domain classifier untouched in the gtav branch (train.py:205-211)
+        assert l2diff(state.params["D"], new_state.params["D"]) == 0
+
+
+def test_source_only_loss_decreases():
+    cfg = _cfg(lr=0.05)
+    m = build_method(cfg, iters_per_epoch=50, method="source_only")
+    state = m.init_state(jax.random.PRNGKey(0))
+    batch = _source_batch(np.random.RandomState(1))
+    step = jax.jit(m.step_fn)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["task_loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_sharded_step_matches_single_device():
+    """Batch sharded over 8 CPU devices must produce the same update as one
+    device: BN statistics and gradients are global reductions under GSPMD —
+    this is the replacement for the reference's sync_batchnorm package."""
+    cfg = _cfg()
+    m = build_method(cfg, iters_per_epoch=10, method="output_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    batch = _adapt_batch(np.random.RandomState(2))
+
+    step = jax.jit(m.step_fn)
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sh_state = replicate(state, mesh)
+    sh_batch = shard_batch(batch, mesh)
+    new_state, metrics = step(sh_state, sh_batch)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    # G is SGD-updated: linear in the gradient, so cross-device float
+    # reassociation stays tiny -> strict tolerance.
+    for a, b in zip(jax.tree.leaves(ref_state.params["G"]),
+                    jax.tree.leaves(new_state.params["G"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    # D is Adam-updated: the first-step direction d/(|d|+eps) amplifies float
+    # noise where |d| ~ eps, so allow a bounded absolute deviation (each
+    # update is bounded by lr).
+    for a, b in zip(jax.tree.leaves(ref_state.params["D"]),
+                    jax.tree.leaves(new_state.params["D"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-2)
+    ref_bs = jax.tree.leaves(ref_state.batch_stats)
+    new_bs = jax.tree.leaves(new_state.batch_stats)
+    for a, b in zip(ref_bs, new_bs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_eval_step():
+    cfg = _cfg()
+    m = build_method(cfg, iters_per_epoch=10, method="output_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    image = jnp.asarray(rng.randn(2, HW, HW, 3), jnp.float32)
+    label = jnp.asarray(rng.randint(0, 19, (2, HW, HW)), jnp.int32)
+    params, bstats = m.eval_variables(state)
+    loss, cm, pred = jax.jit(m.eval_step)(params, bstats, image, label)
+    assert np.isfinite(float(loss))
+    assert cm.shape == (19, 19)
+    assert float(cm.sum()) == 2 * HW * HW
+    assert pred.shape == (2, HW, HW)
