@@ -1,0 +1,49 @@
+"""Host -> device feeding with overlap.
+
+The reference pays a synchronous .cuda() copy at the top of every step
+(train_adapt.py:129).  Here batches are device_put with the batch-dim
+NamedSharding while the previous step is still executing (JAX transfers are
+async), keeping a small in-flight window so the TPU never waits on PCIe/host.
+
+String-valued keys (e.g. 'name') pass through on host.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, Iterable, Iterator
+
+import jax
+from jax.sharding import Mesh
+
+from s2r_tpu.core.mesh import batch_sharding
+
+
+def _put(batch: Dict, sharding):
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (list, str)):
+            out[k] = v
+        else:
+            out[k] = jax.device_put(v, sharding)
+    return out
+
+
+def prefetch_to_device(iterator: Iterable[Dict], mesh: Mesh,
+                       size: int = 2) -> Iterator[Dict]:
+    """Yield device-resident, batch-sharded batches with `size` in flight."""
+    sharding = batch_sharding(mesh)
+    it = iter(iterator)
+    buf = collections.deque()
+    try:
+        for _ in range(size):
+            buf.append(_put(next(it), sharding))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(_put(next(it), sharding))
+        except StopIteration:
+            pass
+        yield out
