@@ -1,0 +1,14 @@
+"""Validation sweep for output-space-adaption (composite DeepLab)
+checkpoints.  Capability parity with reference val_adapt.py."""
+
+from __future__ import annotations
+
+from s2r_tpu.cli.val import main as _main
+
+
+def main(argv=None):
+    return _main(argv, method="output_adapt")
+
+
+if __name__ == "__main__":
+    main()

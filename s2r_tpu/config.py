@@ -162,3 +162,18 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
 def config_from_args(args: argparse.Namespace) -> Config:
     known = {f.name for f in dataclasses.fields(Config)}
     return Config(**{k: v for k, v in vars(args).items() if k in known})
+
+
+def apply_platform_override() -> None:
+    """Honor S2R_PLATFORM=cpu|tpu|... for CLI runs.
+
+    Some TPU plugin environments pin JAX_PLATFORMS so the env var alone can't
+    select the CPU backend; jax.config.update can.  Must run before first
+    backend use."""
+    import os
+
+    plat = os.environ.get("S2R_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)

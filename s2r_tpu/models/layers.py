@@ -83,6 +83,9 @@ class Conv2d(nn.Module):
                 "torch_default": torch_default_conv_init}[self.weight_init]
         kernel = self.param("kernel", init, kshape)
         ph, pw = _pair(self.padding)
+        # No explicit preferred_element_type: the TPU MXU accumulates bf16
+        # operands in f32 internally, and a widened output dtype breaks the
+        # conv VJP (mixed-dtype transposed conv).
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -91,7 +94,6 @@ class Conv2d(nn.Module):
             rhs_dilation=_pair(self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             fan_in = kh * kw * (in_ch // self.groups)
