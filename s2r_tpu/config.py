@@ -62,8 +62,15 @@ class Config:
     precision: str = "bf16"  # 'bf16' compute / f32 params, or 'f32'
     seed: int = 1
 
+    # --- observability (no reference equivalent — SURVEY.md §5) ---
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
+
     # --- checkpointing (reference: train_adapt.py:334-341) ---
     resume: Optional[str] = None
+    # Initialize the backbone from a torch MobileNetV2 state dict, the
+    # equivalent of the reference's bundled mobilenet_VOC.pth
+    # (mobilenet.py:113-132).
+    backbone_init: Optional[str] = None
     checkname: Optional[str] = None
     ft: bool = True  # reference default (train.py:398): optimizer state NOT restored
     run_root: str = "run"
@@ -149,6 +156,12 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                    choices=["bf16", "f32"])
     p.add_argument("--seed", type=int, default=d.seed, metavar="S")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--backbone-init", type=str, default=None,
+                   dest="backbone_init",
+                   help="torch MobileNetV2 state-dict .pth to initialize the "
+                        "backbone (reference: mobilenet_VOC.pth)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   dest="profile_dir")
     p.add_argument("--checkname", type=str, default=None)
     p.add_argument("--ft", action="store_true", default=d.ft)
     p.add_argument("--eval-interval", type=int, default=d.eval_interval,

@@ -76,8 +76,36 @@ class Trainer:
         self.best_pred = 0.0
         self.start_epoch = cfg.start_epoch
 
+        if cfg.backbone_init:
+            self._init_backbone(cfg.backbone_init)
         if cfg.resume:
             self._resume(cfg.resume)
+
+    def _init_backbone(self, path: str):
+        """Load a torch MobileNetV2 state dict into the backbone — the
+        reference's pretrained mobilenet_VOC.pth path (mobilenet.py:113-132,
+        which silently keeps only matching keys)."""
+        import torch
+
+        from s2r_tpu.io.torch_import import import_backbone
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        bp, bs = import_backbone(sd, self.cfg.out_stride)
+        params = dict(self.state.params)
+        params["G"] = {**params["G"], "backbone": jax.tree.map(jnp.asarray, bp)}
+        if self.method.name == "output_adapt":
+            batch_stats = {**self.state.batch_stats,
+                           "backbone": jax.tree.map(jnp.asarray, bs)}
+        else:
+            batch_stats = dict(self.state.batch_stats)
+            batch_stats["G"] = {**batch_stats["G"],
+                                "backbone": jax.tree.map(jnp.asarray, bs)}
+        self.state = replicate(
+            self.state.replace(params=params, batch_stats=batch_stats),
+            self.mesh)
+        print(f"=> initialized backbone from '{path}'")
 
     # ------------------------------------------------------------------
     def _resume(self, path: str):
@@ -214,12 +242,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self):
+        from s2r_tpu.utils.profiling import trace
+
         cfg = self.cfg
         print(f"Starting Epoch: {self.start_epoch}")
         print(f"Total Epoches: {cfg.epochs}")
-        for epoch in range(self.start_epoch, cfg.epochs):
-            self.training(epoch)
-            if not cfg.no_val and \
-                    epoch % cfg.eval_interval == (cfg.eval_interval - 1):
-                self.validation(epoch)
+        with trace(cfg.profile_dir):
+            for epoch in range(self.start_epoch, cfg.epochs):
+                self.training(epoch)
+                if not cfg.no_val and \
+                        epoch % cfg.eval_interval == (cfg.eval_interval - 1):
+                    self.validation(epoch)
         self.writer.close()
