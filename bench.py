@@ -38,6 +38,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from s2r_tpu.config import Config
     from s2r_tpu.core.mesh import make_mesh, replicate, shard_batch
     from s2r_tpu.train.setup import build_method

@@ -61,6 +61,10 @@ class Config:
     num_devices: Optional[int] = None  # default: all local devices
     precision: str = "bf16"  # 'bf16' compute / f32 params, or 'f32'
     seed: int = 1
+    # PRNG implementation for dropout masks: 'rbg' is the TPU-native fast
+    # generator (threefry counts ~10 ops/element and shows up at 512x1024
+    # dropout sizes).  'threefry2x32' gives sharding-invariant masks.
+    prng_impl: str = "rbg"
 
     # --- observability (no reference equivalent — SURVEY.md §5) ---
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
@@ -155,6 +159,9 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--precision", type=str, default=d.precision,
                    choices=["bf16", "f32"])
     p.add_argument("--seed", type=int, default=d.seed, metavar="S")
+    p.add_argument("--prng-impl", type=str, default=d.prng_impl,
+                   choices=["rbg", "threefry2x32", "unsafe_rbg"],
+                   dest="prng_impl")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--backbone-init", type=str, default=None,
                    dest="backbone_init",

@@ -35,6 +35,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _tree_zeros(params):
@@ -139,3 +140,90 @@ def lr_mult_tree(params, mult_by_top_key):
     """
     return {k: jax.tree.map(lambda _: float(mult_by_top_key[k]), sub)
             for k, sub in params.items()}
+
+
+# ---------------------------------------------------------------------------
+# Fused (flat-buffer) optimizer
+# ---------------------------------------------------------------------------
+#
+# A DeepLab param tree has ~160 leaves; applying the update leaf-by-leaf
+# costs XLA one fusion per leaf per op (~11 ms/step measured on v5e at
+# batch 8 — pure scheduling overhead, not bandwidth).  The fused path
+# concatenates all leaves into ONE f32 vector, runs the exact same torch
+# update math as a handful of fused kernels, and splits back.  Numerics are
+# identical (elementwise math, same order per element).
+
+class _FlatSpec:
+    """Static flattening metadata for a param tree."""
+
+    def __init__(self, params):
+        leaves, self.treedef = jax.tree.flatten(params)
+        self.shapes = [l.shape for l in leaves]
+        self.dtypes = [l.dtype for l in leaves]
+        self.sizes = [int(np.prod(s)) if s else 1 for s in
+                      [l.shape for l in leaves]]
+        self.offsets = np.cumsum([0] + self.sizes)
+
+    def flatten(self, tree) -> jnp.ndarray:
+        leaves = jax.tree.leaves(tree)
+        return jnp.concatenate(
+            [l.reshape(-1).astype(jnp.float32) for l in leaves])
+
+    def unflatten(self, flat: jnp.ndarray):
+        leaves = [
+            flat[self.offsets[i]:self.offsets[i + 1]]
+            .reshape(self.shapes[i]).astype(self.dtypes[i])
+            for i in range(len(self.sizes))
+        ]
+        return jax.tree.unflatten(self.treedef, leaves)
+
+    def flat_consts(self, tree) -> np.ndarray:
+        """Flatten a tree of static per-leaf scalars (e.g. lr multipliers)
+        into a constant vector."""
+        vals = jax.tree.leaves(tree)
+        return np.concatenate([np.full(s, float(v), np.float32)
+                               for s, v in zip(self.sizes, vals)])
+
+
+class FusedOptimizer:
+    """Flat-buffer wrapper around SGD/Adam with identical update math."""
+
+    def __init__(self, opt, params, lr_mult=None):
+        self.opt = opt
+        self.spec = _FlatSpec(params)
+        # Kept as numpy: this object may be constructed inside one jit trace
+        # and reused by another, and a jnp constant born inside a trace is a
+        # tracer that must not escape it.
+        self.mult = (None if lr_mult is None
+                     else self.spec.flat_consts(lr_mult))
+
+    def init(self, params):
+        flat = self.spec.flatten(params)
+        if isinstance(self.opt, SGD):
+            return {"momentum": jnp.zeros_like(flat)}
+        return {"m": jnp.zeros_like(flat), "v": jnp.zeros_like(flat),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def apply(self, grads, state, params, lr):
+        """One fused update: returns (new_params_tree, new_state)."""
+        g = self.spec.flatten(grads)
+        p = self.spec.flatten(params)
+        o = self.opt
+        if isinstance(o, SGD):
+            d = g + o.weight_decay * p if o.weight_decay else g
+            buf = o.momentum * state["momentum"] + d
+            step = d + o.momentum * buf if o.nesterov else buf
+            new_state = {"momentum": buf}
+        else:  # Adam
+            count = state["count"] + 1
+            t = count.astype(jnp.float32)
+            d = g + o.weight_decay * p if o.weight_decay else g
+            m = o.b1 * state["m"] + (1.0 - o.b1) * d
+            v = o.b2 * state["v"] + (1.0 - o.b2) * jnp.square(d)
+            step = (m / (1.0 - o.b1 ** t)) / (
+                jnp.sqrt(v / (1.0 - o.b2 ** t)) + o.eps)
+            new_state = {"m": m, "v": v, "count": count}
+        if self.mult is not None:
+            step = step * self.mult
+        new_flat = p - lr * step
+        return self.spec.unflatten(new_flat), new_state

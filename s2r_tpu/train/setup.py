@@ -19,7 +19,7 @@ from s2r_tpu.core.precision import Policy
 from s2r_tpu.models import DeepLab, DomainClassifier, FCDiscriminator
 from s2r_tpu.train.losses import build_seg_loss
 from s2r_tpu.train.lr_schedule import make_lr_schedule
-from s2r_tpu.train.optim import SGD, Adam, make_optimizer
+from s2r_tpu.train.optim import SGD, Adam, FusedOptimizer, make_optimizer
 from s2r_tpu.train.state import TrainState
 from s2r_tpu.train.steps import (make_eval_step, make_feature_adapt_step,
                                  make_output_adapt_step)
@@ -83,8 +83,10 @@ def build_method(cfg: Config, iters_per_epoch: int,
                              jnp.zeros((1, cfg.crop_size, cfg.crop_size,
                                         cfg.num_classes), jnp.float32))
             params = {"G": vg["params"], "D": vd["params"]}
-            opt_state = {"G": g_opt.init(params["G"]),
-                         "D": d_opt.init(params["D"])}
+            opt_state = {
+                "G": FusedOptimizer(g_opt, params["G"]).init(params["G"]),
+                "D": FusedOptimizer(d_opt, params["D"]).init(params["D"]),
+            }
             return TrainState.create(params, vg["batch_stats"], opt_state, ks)
 
         return Method("output_adapt", deeplab, step_fn, eval_step, init_state,
@@ -109,10 +111,10 @@ def build_method(cfg: Config, iters_per_epoch: int,
         f = {"backbone": params["G"]["backbone"], "aspp": params["G"]["aspp"]}
         # four optimizer states over overlapping param sets (train.py:63-82);
         # 'c' is allocated but never stepped (checkpoint parity).
-        opt_state = {"task": opt.init(params["G"]),
-                     "d": opt.init(params["D"]),
-                     "d_inv": opt.init(f),
-                     "c": opt.init(params["G"])}
+        opt_state = {"task": FusedOptimizer(opt, params["G"]).init(params["G"]),
+                     "d": FusedOptimizer(opt, params["D"]).init(params["D"]),
+                     "d_inv": FusedOptimizer(opt, f).init(f),
+                     "c": FusedOptimizer(opt, params["G"]).init(params["G"])}
         batch_stats = {"G": vg["batch_stats"], "D": vd["batch_stats"]}
         return TrainState.create(params, batch_stats, opt_state, ks)
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from s2r_tpu.train.losses import bce_with_logits, domain_loss
-from s2r_tpu.train.optim import apply_updates, lr_mult_tree
+from s2r_tpu.train.optim import FusedOptimizer, lr_mult_tree
 from s2r_tpu.train.state import TrainState
 
 SOURCE_LABEL = 0.0  # train_adapt.py:117
@@ -58,10 +58,15 @@ def make_output_adapt_step(deeplab, discriminator, g_opt, d_opt,
        overrides Adam's constructor LR with poly(base_lr) each iteration
        (train_adapt.py:133 + lr_scheduler.py:63-70) — reproduced here.
     """
-    g_mult = None  # built lazily from the param tree structure
+    fused: Dict[str, FusedOptimizer] = {}  # built lazily from tree structure
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        nonlocal g_mult
+        if not fused:
+            fused["G"] = FusedOptimizer(
+                g_opt, state.params["G"],
+                lr_mult_tree(state.params["G"],
+                             {"backbone": 1.0, "aspp": 10.0, "decoder": 10.0}))
+            fused["D"] = FusedOptimizer(d_opt, state.params["D"])
         lr = lr_fn(state.step)
         rng, r_src, r_tgt = jax.random.split(state.rng, 3)
 
@@ -99,16 +104,10 @@ def make_output_adapt_step(deeplab, discriminator, g_opt, d_opt,
 
         l_d, grads_d = jax.value_and_grad(d_loss)(state.params["D"])
 
-        if g_mult is None:
-            g_mult = lr_mult_tree(state.params["G"],
-                                  {"backbone": 1.0, "aspp": 10.0,
-                                   "decoder": 10.0})
-        dir_g, g_state = g_opt.direction(grads_g, state.opt_state["G"],
-                                         state.params["G"])
-        params_g = apply_updates(state.params["G"], dir_g, lr, g_mult)
-        dir_d, d_state = d_opt.direction(grads_d, state.opt_state["D"],
-                                         state.params["D"])
-        params_d = apply_updates(state.params["D"], dir_d, lr)
+        params_g, g_state = fused["G"].apply(grads_g, state.opt_state["G"],
+                                             state.params["G"], lr)
+        params_d, d_state = fused["D"].apply(grads_d, state.opt_state["D"],
+                                             state.params["D"], lr)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -146,7 +145,14 @@ def make_feature_adapt_step(deeplab, domain_cls, task_opt, d_opt, d_inv_opt,
         return ({"backbone": tree["backbone"], "aspp": tree["aspp"]},
                 {"decoder": tree["decoder"]})
 
+    fused: Dict[str, FusedOptimizer] = {}
+
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if not fused:
+            f0, _ = split_fy(state.params["G"])
+            fused["task"] = FusedOptimizer(task_opt, state.params["G"])
+            fused["d"] = FusedOptimizer(d_opt, state.params["D"])
+            fused["d_inv"] = FusedOptimizer(d_inv_opt, f0)
         lr = lr_fn(state.step)
         rng, r1, r2, r3, r4 = jax.random.split(state.rng, 5)
         src_key = "image" if source_only else "src_image"
@@ -187,25 +193,22 @@ def make_feature_adapt_step(deeplab, domain_cls, task_opt, d_opt, d_inv_opt,
         new_bs, task_l, d_l, d_inv_l, d_acc = aux
 
         # --- task_opt over f+y (train.py:202) ---
-        dir_t, task_state = task_opt.direction(
-            grads["G"], state.opt_state["task"], state.params["G"])
-        params_g = apply_updates(state.params["G"], dir_t, lr)
+        params_g, task_state = fused["task"].apply(
+            grads["G"], state.opt_state["task"], state.params["G"], lr)
 
         if source_only:
             new_params = {"G": params_g, "D": state.params["D"]}
             new_opt = {**state.opt_state, "task": task_state}
         else:
             # --- d_opt over the domain classifier (train.py:203) ---
-            dir_d, d_state = d_opt.direction(
-                grads["D"], state.opt_state["d"], state.params["D"])
-            params_d = apply_updates(state.params["D"], dir_d, lr)
+            params_d, d_state = fused["d"].apply(
+                grads["D"], state.opt_state["d"], state.params["D"], lr)
             # --- d_inv_opt over f, same gradient, torch step order
             #     (weight decay sees task-updated f) (train.py:204) ---
             grads_f, _ = split_fy(grads["G"])
             params_f, params_y = split_fy(params_g)
-            dir_i, d_inv_state = d_inv_opt.direction(
-                grads_f, state.opt_state["d_inv"], params_f)
-            params_f = apply_updates(params_f, dir_i, lr)
+            params_f, d_inv_state = fused["d_inv"].apply(
+                grads_f, state.opt_state["d_inv"], params_f, lr)
             params_g = {**params_f, **params_y}
             new_params = {"G": params_g, "D": params_d}
             new_opt = {"task": task_state, "d": d_state,

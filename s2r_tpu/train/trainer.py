@@ -51,6 +51,8 @@ def pick_num_devices(batch_size: int, requested: Optional[int]) -> int:
 class Trainer:
     def __init__(self, cfg: Config, method: Optional[str] = None):
         self.cfg = cfg
+        if cfg.prng_impl:
+            jax.config.update("jax_default_prng_impl", cfg.prng_impl)
         self.saver = Saver(cfg)
         self.saver.save_experiment_config()
         self.summary = TensorboardSummary(self.saver.experiment_dir)
