@@ -37,6 +37,9 @@ class Config:
     workers: int = 4
     base_size: int = 512
     crop_size: int = 512
+    # 'pil' is the reference-exact path; 'native' uses the C++ pipeline
+    # (libs2rpipe) for val/test decode+resize+normalize (1-LSB-identical).
+    data_backend: str = "pil"
 
     # --- loss (reference: train_adapt.py:294-298) ---
     loss_type: str = "ce"  # 'ce' | 'focal'
@@ -133,6 +136,8 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--test_img_root", type=str, default=d.test_img_root)
     p.add_argument("--test_label_root", type=str, default=d.test_label_root)
     p.add_argument("--workers", type=int, default=d.workers, metavar="N")
+    p.add_argument("--data-backend", type=str, default=d.data_backend,
+                   choices=["pil", "native"], dest="data_backend")
     p.add_argument("--base-size", type=int, default=d.base_size, dest="base_size")
     p.add_argument("--crop-size", type=int, default=d.crop_size, dest="crop_size")
     p.add_argument("--sync-bn", type=_str2bool, default=None, dest="sync_bn")

@@ -16,6 +16,7 @@ Replaces the reference's torch DataLoader usage (dataloders/__init__.py:4-28):
 
 from __future__ import annotations
 
+import os
 import queue
 import random
 import threading
@@ -113,6 +114,28 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
                            cfg.crop_size)
         test_set = D.TestSet(cfg.test_img_root, cfg.test_label_root,
                              cfg.crop_size)
+        if cfg.data_backend == "native":
+            from s2r_tpu import native
+            from s2r_tpu.data.native_loader import NativeEvalLoader
+            if not native.available():
+                raise RuntimeError(
+                    f"--data-backend native unavailable: "
+                    f"{native.build_error()}")
+            train = DataLoader(train_set, cfg.batch_size, shuffle=True,
+                               drop_last=True, **kw)
+            val_imgs = [os.path.join(
+                cfg.val_img_root,
+                os.path.basename(p)[:-len("gtFine_labelIds.png")]
+                + "leftImg8bit.png") for p in val_set.labels]
+            val = NativeEvalLoader(val_imgs, val_set.labels, cfg.crop_size,
+                                   cfg.batch_size,
+                                   drop_last=cfg.val_drop_last,
+                                   threads=cfg.workers)
+            test = NativeEvalLoader(test_set.images, None, cfg.crop_size,
+                                    cfg.batch_size,
+                                    drop_last=cfg.val_drop_last,
+                                    threads=cfg.workers)
+            return train, val, test, train_set.NUM_CLASSES
     elif cfg.dataset == "gtav":
         train_set = D.GTA5(cfg.src_img_root, cfg.src_label_root,
                            cfg.base_size, cfg.crop_size, "train")
