@@ -63,6 +63,11 @@ class Config:
     # --- devices / precision (TPU-native; replaces --no-cuda/--gpu-ids) ---
     num_devices: Optional[int] = None  # default: all local devices
     precision: str = "bf16"  # 'bf16' compute / f32 params, or 'f32'
+    # Rematerialize blocks in the backward pass (identical numerics).
+    # Measured SLOWER at 512x1024/batch-8 on v5e (45 vs 54 img/s): the
+    # recomputed intermediates exceed VMEM so they round-trip HBM anyway.
+    # Enable for larger-than-memory configs (e.g. full-res 2048x1024 train).
+    remat: bool = False
     seed: int = 1
     # PRNG implementation for dropout masks: 'rbg' is the TPU-native fast
     # generator (threefry counts ~10 ops/element and shows up at 512x1024
@@ -163,6 +168,8 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--num-devices", type=int, default=None, dest="num_devices")
     p.add_argument("--precision", type=str, default=d.precision,
                    choices=["bf16", "f32"])
+    p.add_argument("--remat", action="store_true", dest="remat",
+                   default=d.remat)
     p.add_argument("--seed", type=int, default=d.seed, metavar="S")
     p.add_argument("--prng-impl", type=str, default=d.prng_impl,
                    choices=["rbg", "threefry2x32", "unsafe_rbg"],

@@ -33,6 +33,7 @@ class DeepLab(nn.Module):
     num_classes: int = 19
     freeze_bn: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize blocks/ASPP/decoder in backward
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -41,11 +42,17 @@ class DeepLab(nn.Module):
         if self.backbone != "mobilenet":
             raise NotImplementedError(self.backbone)
         bn_train = train and not self.freeze_bn
+        aspp_cls, dec_cls = ASPP, Decoder
+        if self.remat:
+            aspp_cls = nn.remat(ASPP, static_argnums=(2,))
+            dec_cls = nn.remat(Decoder, static_argnums=(3,))
         high, low = MobileNetV2(output_stride=self.output_stride,
-                                dtype=self.dtype, name="backbone")(x, bn_train)
-        feat = ASPP(backbone=self.backbone, output_stride=self.output_stride,
-                    dtype=self.dtype, name="aspp")(high, bn_train)
-        logits = Decoder(num_classes=self.num_classes, backbone=self.backbone,
+                                dtype=self.dtype, remat=self.remat,
+                                name="backbone")(x, bn_train)
+        feat = aspp_cls(backbone=self.backbone,
+                        output_stride=self.output_stride,
+                        dtype=self.dtype, name="aspp")(high, bn_train)
+        logits = dec_cls(num_classes=self.num_classes, backbone=self.backbone,
                          dtype=self.dtype, name="decoder")(feat, low, bn_train)
         logits = resize_bilinear_align_corners(logits, x.shape[1:3],
                                                dtype=jnp.float32)

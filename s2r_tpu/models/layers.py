@@ -107,6 +107,20 @@ class Conv2d(nn.Module):
         return y.astype(self.dtype)
 
 
+_BN_IMPL = "xla"  # 'xla' | 'pallas' | 'pallas_interpret' (process-wide)
+
+
+def set_bn_impl(impl: str) -> None:
+    """Select the training-mode BN implementation for subsequently *traced*
+    programs.  'pallas' uses the fused single-pass reduction kernels
+    (ops/pallas/batchnorm.py) — single-device only (the kernel reduces over
+    the local array; a GSPMD-sharded step must keep 'xla', whose reductions
+    become cross-chip psums automatically)."""
+    assert impl in ("xla", "pallas", "pallas_interpret"), impl
+    global _BN_IMPL
+    _BN_IMPL = impl
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch statistics semantics (see module docstring).
 
@@ -129,23 +143,41 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
 
-        x32 = x.astype(jnp.float32)
+        # Statistics accumulate in f32 (reduction dtype), but the per-element
+        # normalization runs in the compute dtype so no f32 copy of the
+        # activation is ever materialized or saved as a backward residual —
+        # the step is HBM-bandwidth-bound and BN touches every activation.
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            inv = lax.rsqrt(var + self.eps) * scale
+            shift = bias - mean * inv
+            y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+            return y.astype(self.dtype)
+
+        if _BN_IMPL.startswith("pallas") and not self.is_initializing():
+            from s2r_tpu.ops.pallas.batchnorm import batch_norm_train
+
+            y, mean, var = batch_norm_train(
+                x, scale, bias, self.eps,
+                _BN_IMPL == "pallas_interpret")
         else:
+            # Single pass: E[x] and E[x^2] reduce together over one read of
+            # x; the f32 casts fuse into the reduction (no f32 copy lands
+            # in HBM).
+            x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=(0, 1, 2))
-            mean2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
-            var = mean2 - jnp.square(mean)
-            if not self.is_initializing():
-                # Unbiased variance feeds the running estimate
-                # (reference: batchnorm.py:113-125).
-                n = x.shape[0] * x.shape[1] * x.shape[2]
-                unbiased = var * (n / max(n - 1, 1))
-                m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        inv = lax.rsqrt(var + self.eps) * scale
-        y = (x32 - mean) * inv + bias
+            var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            inv = lax.rsqrt(var + self.eps) * scale
+            shift = bias - mean * inv
+            y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+        if not self.is_initializing():
+            # Unbiased variance feeds the running estimate
+            # (reference: batchnorm.py:113-125).
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = (1 - m) * ra_var.value + m * unbiased
         return y.astype(self.dtype)
 
 

@@ -105,6 +105,11 @@ class MobileNetV2(nn.Module):
     output_stride: int = 16
     width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize each InvertedResidual in the backward pass.  The step is
+    # HBM-bandwidth-bound (XLA cost analysis: ~103 GB/step at 512x1024
+    # batch 8, ~10 GB stored temporaries); dropping the 6x-expanded hidden
+    # activations trades spare MXU FLOPs for the scarce resource.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -115,13 +120,15 @@ class MobileNetV2(nn.Module):
         y = BatchNorm(dtype=self.dtype, name="features_0_bn")(y, not train)
         y = relu6(y)
 
+        block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
+                     if self.remat else InvertedResidual)
         low = None
         for i, (_, out_ch, stride, dilation, t) in enumerate(
                 block_plan(self.output_stride, self.width_mult)):
-            y = InvertedResidual(out_ch=out_ch, stride=stride,
-                                 dilation=dilation, expand_ratio=t,
-                                 dtype=self.dtype,
-                                 name=f"features_{i + 1}")(y, train)
+            y = block_cls(out_ch=out_ch, stride=stride,
+                          dilation=dilation, expand_ratio=t,
+                          dtype=self.dtype,
+                          name=f"features_{i + 1}")(y, train)
             if i == LOW_LEVEL_SPLIT - 1:
                 low = y
         return y, low
