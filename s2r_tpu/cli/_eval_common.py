@@ -24,13 +24,26 @@ import numpy as np
 from PIL import Image
 
 from s2r_tpu.config import Config
-from s2r_tpu.data.datasets import CLASS_NAMES
 from s2r_tpu.data.loader import make_data_loader
 from s2r_tpu.data.palette import decode_segmap_u8
 from s2r_tpu.eval.metrics import Evaluator
 from s2r_tpu.train.setup import build_method
 
 EXPORT_SIZE = (1280, 640)  # (w, h) — val.py:214-254 / test_adapt.py:118-157
+
+# trainId -> original Cityscapes labelId for the grayscale export
+# (val.py imgsaver:219-224 maps predictions back through valid_classes).
+_TRAINID_TO_LABELID = np.zeros(256, np.uint8)
+for _i, _v in enumerate(
+        (7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 31,
+         32, 33)):
+    _TRAINID_TO_LABELID[_i] = _v
+
+# Short class names used by the val_info.txt report (val.py:177-195).
+REPORT_CLASS_NAMES = ("road", "sidewalk", "building", "wall", "fence",
+                      "pole", "light", "sign", "vegetation", "terrain",
+                      "sky", "person", "rider", "car", "truck", "bus",
+                      "train", "motocycle", "bicycle")
 
 
 def build_eval(cfg: Config, method: str):
@@ -55,15 +68,20 @@ def build_eval(cfg: Config, method: str):
 
 
 def _save_prediction(pred: np.ndarray, name: str, out_dir: str,
-                     dataset: str):
+                     dataset: str, miou: Optional[float] = None):
+    """Grayscale labelId PNG (trainIds mapped back to Cityscapes labelIds)
+    + color PNG, both upscaled to 1280x640 NEAREST; the color filename
+    carries the per-image mIoU when given (val.py imgsaver:246-247)."""
     os.makedirs(out_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(name))[0]
-    gray = Image.fromarray(pred.astype(np.uint8), mode="L")
+    gray = Image.fromarray(_TRAINID_TO_LABELID[pred.astype(np.uint8)],
+                           mode="L")
     gray = gray.resize(EXPORT_SIZE, Image.NEAREST)
     gray.save(os.path.join(out_dir, f"{stem}_labelId.png"))
     color = Image.fromarray(decode_segmap_u8(pred, dataset))
     color = color.resize(EXPORT_SIZE, Image.NEAREST)
-    color.save(os.path.join(out_dir, f"{stem}_color.png"))
+    tag = f"_color_{miou:.4f}_" if miou is not None else "_color"
+    color.save(os.path.join(out_dir, f"{stem}{tag}.png"))
 
 
 def validation_sep(cfg: Config, params, bstats, eval_step, val_loader,
@@ -79,7 +97,7 @@ def validation_sep(cfg: Config, params, bstats, eval_step, val_loader,
             ev.add_batch(np.asarray(batch["label"][j:j + 1]), pred[j:j + 1])
             miou, _ = ev.Mean_Intersection_over_Union()
             name = batch["name"][j]
-            _save_prediction(pred[j], name, out_dir, cfg.dataset)
+            _save_prediction(pred[j], name, out_dir, cfg.dataset, miou)
             print(f"{name}: mIoU {miou:.4f}")
 
 
@@ -97,10 +115,14 @@ def validation(cfg: Config, params, bstats, eval_step, val_loader,
     acc_class = ev.Pixel_Accuracy_Class()
     miou, iou = ev.Mean_Intersection_over_Union()
     fwiou = ev.Frequency_Weighted_Intersection_over_Union()
-    lines = [f"Acc:{acc}, Acc_class:{acc_class}, mIoU:{miou}, fwIoU: {fwiou}",
-             f"Loss: {test_loss:.3f}"]
+    # report format mirrors val.py:196-203
+    lines = ["Validation:",
+             f"Acc:{acc}, Acc_class:{acc_class}, mIoU:{miou}, fwIoU: {fwiou}",
+             f"Loss: {test_loss:.3f}", "", "Class IOU: "]
     for c in range(nclass):
-        lines.append(f"{CLASS_NAMES[c + 1]}: {iou[c]}")
+        name = REPORT_CLASS_NAMES[c]
+        sep = ": \t" if len(name) > 5 else ": \t\t"
+        lines.append(f"\t{name}{sep}{iou[c]}")
     report = "\n".join(lines)
     print(report)
     if report_path:
