@@ -90,6 +90,9 @@ class Config:
     # --- evaluation (reference: train_adapt.py:343-346) ---
     eval_interval: int = 1
     no_val: bool = False
+    # Shard the image H axis over the mesh during validation (GSPMD inserts
+    # conv halo exchanges) — for full-res sweeps that don't fit one chip.
+    eval_spatial_shard: bool = False
 
     # --- faithful-quirk switches (reference behaviors preserved by default,
     #     see SURVEY.md §2.6; flip to fix) ---
@@ -185,6 +188,8 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--ft", action="store_true", default=d.ft)
     p.add_argument("--eval-interval", type=int, default=d.eval_interval,
                    dest="eval_interval")
+    p.add_argument("--eval-spatial-shard", action="store_true",
+                   default=d.eval_spatial_shard, dest="eval_spatial_shard")
     p.add_argument("--no-val", action="store_true", default=d.no_val, dest="no_val")
     p.add_argument("--run-root", type=str, default=d.run_root, dest="run_root")
     p.add_argument("--adv-softmax-axis", type=str, default=d.adv_softmax_axis,

@@ -51,6 +51,23 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the H (dim 1) axis of [N, H, ...] arrays over the mesh.
+
+    Convolutions under GSPMD spatial partitioning get their halo exchanges
+    inserted by XLA automatically, so a full-resolution (e.g. 2048x1024)
+    image can be evaluated across chips that it would not fit on — the
+    analogue of sequence parallelism for this conv workload (SURVEY.md §5).
+    """
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_spatial(batch, mesh: Mesh):
+    """Device-put eval batches with the image/label H axis sharded."""
+    sharding = spatial_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -212,11 +212,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validation(self, epoch: int) -> float:
+        from s2r_tpu.core.mesh import shard_spatial
+
         self.evaluator.reset()
         params, bstats = self.method.eval_variables(self.state)
         test_loss = 0.0
         n_batches = 0
-        for batch in prefetch_to_device(self.val_loader, self.mesh):
+        val_iter = (
+            (shard_spatial({k: v for k, v in b.items()
+                            if not isinstance(v, list)}, self.mesh)
+             for b in self.val_loader)
+            if self.cfg.eval_spatial_shard
+            else prefetch_to_device(self.val_loader, self.mesh))
+        for batch in val_iter:
             loss, cm, _ = self.eval_step(params, bstats, batch["image"],
                                          batch["label"])
             self.evaluator._device_cm = self.evaluator._device_cm + cm
