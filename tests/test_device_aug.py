@@ -1,0 +1,91 @@
+"""On-device fused augmentation: shape/semantics checks vs the transform
+contract (distribution-level parity with the PIL path; see device_aug.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from s2r_tpu.data.device_aug import augment_batch, augment_paired_batch
+
+
+def _batch(n=2, sh=60, sw=80):
+    rng = np.random.RandomState(0)
+    return {
+        "src_image": jnp.asarray(rng.randint(0, 255, (n, sh, sw, 3)),
+                                 jnp.uint8),
+        "tgt_image": jnp.asarray(rng.randint(0, 255, (n, sh, sw, 3)),
+                                 jnp.uint8),
+        "src_label": jnp.asarray(rng.randint(0, 19, (n, sh, sw)), jnp.uint8),
+    }
+
+
+def test_shapes_dtypes_and_ranges():
+    out = augment_paired_batch(_batch(), jax.random.PRNGKey(0), 32, 32)
+    assert out["src_image"].shape == (2, 32, 32, 3)
+    assert out["src_image"].dtype == jnp.float32
+    assert out["tgt_image"].shape == (2, 32, 32, 3)
+    assert out["src_label"].shape == (2, 32, 32)
+    assert out["src_label"].dtype == jnp.int32
+    lbl = np.asarray(out["src_label"])
+    assert set(np.unique(lbl)) <= set(range(19)) | {255}
+    # normalized images stay in a plausible ImageNet-normalized range
+    img = np.asarray(out["src_image"])
+    assert img.min() > -3.0 and img.max() < 3.5
+
+
+def test_deterministic_per_key_and_varying_across_keys():
+    b = _batch()
+    a1 = augment_paired_batch(b, jax.random.PRNGKey(7), 32, 32)
+    a2 = augment_paired_batch(b, jax.random.PRNGKey(7), 32, 32)
+    np.testing.assert_array_equal(np.asarray(a1["src_image"]),
+                                  np.asarray(a2["src_image"]))
+    a3 = augment_paired_batch(b, jax.random.PRNGKey(8), 32, 32)
+    assert not np.array_equal(np.asarray(a1["src_image"]),
+                              np.asarray(a3["src_image"]))
+
+
+def test_padding_appears_when_scale_below_crop():
+    # base_size 8 -> short edge in [4, 16]; crop 32 -> padding guaranteed
+    out = augment_paired_batch(_batch(), jax.random.PRNGKey(1), 8, 32)
+    lbl = np.asarray(out["src_label"])
+    assert (lbl == 255).any()
+    img = np.asarray(out["src_image"])
+    # padded image region is exactly zero
+    pad_mask = lbl == 255
+    assert np.allclose(img[pad_mask], 0.0)
+
+
+def test_flip_and_geometry_joint_between_src_and_label():
+    # constant-color halves let us verify src image and label transform with
+    # the same geometry: left half class 0 / dark, right half class 1 /
+    # bright.
+    sh, sw = 64, 64
+    img = np.zeros((1, sh, sw, 3), np.uint8)
+    img[:, :, sw // 2:, :] = 255
+    lbl = np.zeros((1, sh, sw), np.uint8)
+    lbl[:, :, sw // 2:] = 1
+    batch = {"src_image": jnp.asarray(img), "tgt_image": jnp.asarray(img),
+             "src_label": jnp.asarray(lbl)}
+    for seed in range(6):
+        out = augment_paired_batch(batch, jax.random.PRNGKey(seed), 64, 32)
+        oimg = np.asarray(out["src_image"][0])
+        olbl = np.asarray(out["src_label"][0])
+        valid = olbl != 255
+        bright = oimg.mean(-1) > 0.0  # normalized: bright > 0 > dark
+        # wherever the label says class 1, the image must be bright
+        interior = valid & ((olbl == 0) | (olbl == 1))
+        agree = (bright[interior] == (olbl[interior] == 1)).mean()
+        # bilinear image blending vs nearest label sampling disagree on the
+        # 1-px class boundary
+        assert agree > 0.95, (seed, agree)
+
+
+def test_single_domain_variant():
+    rng = np.random.RandomState(2)
+    batch = {"image": jnp.asarray(rng.randint(0, 255, (2, 50, 70, 3)),
+                                  jnp.uint8),
+             "label": jnp.asarray(rng.randint(0, 19, (2, 50, 70)), jnp.uint8)}
+    out = augment_batch(batch, jax.random.PRNGKey(0), 32, 32)
+    assert out["image"].shape == (2, 32, 32, 3)
+    assert out["label"].shape == (2, 32, 32)
