@@ -40,6 +40,9 @@ class Config:
     # 'pil' is the reference-exact path; 'native' uses the C++ pipeline
     # (libs2rpipe) for val/test decode+resize+normalize (1-LSB-identical).
     data_backend: str = "pil"
+    # Run flip/scale-crop/normalize as a fused jitted warp on device
+    # (data/device_aug.py); hosts ship raw uint8 frames.
+    device_aug: bool = False
 
     # --- loss (reference: train_adapt.py:294-298) ---
     loss_type: str = "ce"  # 'ce' | 'focal'
@@ -146,6 +149,8 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--workers", type=int, default=d.workers, metavar="N")
     p.add_argument("--data-backend", type=str, default=d.data_backend,
                    choices=["pil", "native"], dest="data_backend")
+    p.add_argument("--device-aug", action="store_true",
+                   default=d.device_aug, dest="device_aug")
     p.add_argument("--base-size", type=int, default=d.base_size, dest="base_size")
     p.add_argument("--crop-size", type=int, default=d.crop_size, dest="crop_size")
     p.add_argument("--sync-bn", type=_str2bool, default=None, dest="sync_bn")

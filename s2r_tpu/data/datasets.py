@@ -65,12 +65,18 @@ def _load_label(path: str) -> Image.Image:
 
 
 class TrainSet:
-    """Paired (source image+label, random target image) training set."""
+    """Paired (source image+label, random target image) training set.
+
+    staged=True skips host-side augmentation and returns raw uint8 frames
+    (label already 19-class encoded) for the fused on-device augmentation
+    path (s2r_tpu/data/device_aug.py).
+    """
 
     NUM_CLASSES = NUM_CLASSES
 
     def __init__(self, src_img_root: str, src_label_root: str,
-                 tgt_img_root: str, base_size: int, crop_size: int):
+                 tgt_img_root: str, base_size: int, crop_size: int,
+                 staged: bool = False):
         self.src_label_root = src_label_root
         self.sources = recursive_glob(src_img_root, ".png")
         self.targets = recursive_glob(tgt_img_root, ".png")
@@ -78,6 +84,7 @@ class TrainSet:
             raise FileNotFoundError(f"no source images in {src_img_root}")
         if not self.targets:
             raise FileNotFoundError(f"no target images in {tgt_img_root}")
+        self.staged = staged
         self.transform = T.train_transforms(base_size, crop_size)
 
     def __len__(self):
@@ -90,6 +97,12 @@ class TrainSet:
         label_path = os.path.join(self.src_label_root,
                                   os.path.basename(src_path))
         tgt_path = self.targets[rng.randint(0, len(self.targets) - 1)]
+        if self.staged:
+            return {
+                "src_image": np.asarray(_load_rgb(src_path), np.uint8),
+                "tgt_image": np.asarray(_load_rgb(tgt_path), np.uint8),
+                "src_label": np.asarray(_load_label(label_path), np.uint8),
+            }
         sample = {"src_image": _load_rgb(src_path),
                   "tgt_image": _load_rgb(tgt_path),
                   "src_label": _load_label(label_path)}
@@ -163,9 +176,10 @@ class GTA5:
 
     def __init__(self, src_img_root: str, src_label_root: str,
                  base_size: int, crop_size: int, split: str = "train",
-                 shuffle_seed: int = 720):
+                 shuffle_seed: int = 720, staged: bool = False):
         self.src_label_root = src_label_root
         self.split = split
+        self.staged = staged and split == "train"
         files = recursive_glob(src_img_root, ".png")
         if not files:
             raise FileNotFoundError(f"no source images in {src_img_root}")
@@ -190,6 +204,10 @@ class GTA5:
         src_path = self.files[index]
         label_path = os.path.join(self.src_label_root,
                                   os.path.basename(src_path))
+        if self.staged:
+            return {"image": np.asarray(_load_rgb(src_path), np.uint8),
+                    "label": np.asarray(_load_label(label_path), np.uint8),
+                    "name": os.path.basename(src_path)}
         sample = {"image": _load_rgb(src_path), "label": _load_label(label_path)}
         out = self.transform(sample, rng)
         out["name"] = os.path.basename(src_path)

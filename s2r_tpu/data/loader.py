@@ -109,7 +109,8 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
     kw = dict(num_workers=cfg.workers, seed=seed)
     if cfg.dataset == "gtav2cityscapes":
         train_set = D.TrainSet(cfg.src_img_root, cfg.src_label_root,
-                               cfg.tgt_img_root, cfg.base_size, cfg.crop_size)
+                               cfg.tgt_img_root, cfg.base_size,
+                               cfg.crop_size, staged=cfg.device_aug)
         val_set = D.ValSet(cfg.val_img_root, cfg.val_label_root,
                            cfg.crop_size)
         test_set = D.TestSet(cfg.test_img_root, cfg.test_label_root,
@@ -138,13 +139,16 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
             return train, val, test, train_set.NUM_CLASSES
     elif cfg.dataset == "gtav":
         train_set = D.GTA5(cfg.src_img_root, cfg.src_label_root,
-                           cfg.base_size, cfg.crop_size, "train")
+                           cfg.base_size, cfg.crop_size, "train",
+                           staged=cfg.device_aug)
         val_set = D.GTA5(cfg.src_img_root, cfg.src_label_root, cfg.base_size,
                          cfg.crop_size, "val")
         test_set = D.GTA5(cfg.src_img_root, cfg.src_label_root, cfg.base_size,
                           cfg.crop_size, "test")
     elif cfg.dataset == "synthetic":
-        train_set = S.SyntheticTrainSet(cfg.crop_size, length=8 * cfg.batch_size)
+        train_set = S.SyntheticTrainSet(cfg.crop_size,
+                                        length=8 * cfg.batch_size,
+                                        staged=cfg.device_aug)
         val_set = S.SyntheticEvalSet(cfg.crop_size,
                                      length=4 * max(cfg.test_batch_size, 1))
         test_set = S.SyntheticEvalSet(cfg.crop_size,

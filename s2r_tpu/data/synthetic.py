@@ -40,20 +40,28 @@ class SyntheticTrainSet:
     NUM_CLASSES = NUM_CLASSES
 
     def __init__(self, crop_size: int, length: int = 64, paired: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, staged: bool = False):
         self.crop = crop_size
         self.length = length
         self.paired = paired
         self.seed = seed
+        self.staged = staged
 
     def __len__(self):
         return self.length
+
+    def _to_u8(self, img: np.ndarray) -> np.ndarray:
+        return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
 
     def __getitem__(self, index: int, rng=None) -> Dict[str, np.ndarray]:
         r = np.random.RandomState(self.seed * 100003 + index)
         img, lbl = _scene(r, self.crop, self.crop)
         if self.paired:
             tgt, _ = _scene(r, self.crop, self.crop)
+            if self.staged:
+                return {"src_image": self._to_u8(img),
+                        "tgt_image": self._to_u8(tgt),
+                        "src_label": lbl.astype(np.uint8)}
             return {"src_image": img, "tgt_image": tgt, "src_label": lbl}
         return {"image": img, "label": lbl,
                 "name": f"synthetic_{index:05d}.png"}

@@ -165,10 +165,22 @@ class Trainer:
         t0 = time.time()
         images_seen = 0
 
+        aug_key = jax.random.PRNGKey((cfg.seed, epoch).__hash__() & 0x7FFFFFFF)
         for i, batch in enumerate(
                 prefetch_to_device(self.train_loader, self.mesh)):
             arrays = {k: v for k, v in batch.items()
                       if not isinstance(v, list)}
+            if cfg.device_aug:
+                from s2r_tpu.data import device_aug as DA
+
+                key = jax.random.fold_in(aug_key, i)
+                if "src_image" in arrays:
+                    arrays = DA.augment_paired_batch(arrays, key,
+                                                     cfg.base_size,
+                                                     cfg.crop_size)
+                else:
+                    arrays = DA.augment_batch(arrays, key, cfg.base_size,
+                                              cfg.crop_size)
             self.state, metrics = self.train_step(self.state, arrays)
             pending.append(metrics)
             images_seen += cfg.batch_size
