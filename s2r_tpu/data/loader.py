@@ -149,10 +149,9 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
         train_set = S.SyntheticTrainSet(cfg.crop_size,
                                         length=8 * cfg.batch_size,
                                         staged=cfg.device_aug)
-        val_set = S.SyntheticEvalSet(cfg.crop_size,
-                                     length=4 * max(cfg.test_batch_size, 1))
-        test_set = S.SyntheticEvalSet(cfg.crop_size,
-                                      length=2 * max(cfg.test_batch_size, 1),
+        eval_n = 4 * max(cfg.batch_size, cfg.test_batch_size, 1)
+        val_set = S.SyntheticEvalSet(cfg.crop_size, length=eval_n)
+        test_set = S.SyntheticEvalSet(cfg.crop_size, length=eval_n // 2,
                                       seed=2)
     else:
         raise NotImplementedError(cfg.dataset)

@@ -17,18 +17,34 @@ import numpy as np
 NUM_CLASSES = 19
 
 
+# Fixed class -> color mapping (scaled Cityscapes palette) makes the task
+# *learnable*: a correct segmenter can recover labels from colors, so
+# end-to-end convergence is testable without real datasets.
+def _class_colors() -> np.ndarray:
+    from s2r_tpu.data.palette import get_cityscapes_labels
+
+    return (get_cityscapes_labels().astype(np.float32) / 127.5) - 1.0
+
+
+_COLORS = None
+
+
 def _scene(rng: np.random.RandomState, h: int, w: int):
-    """A blocky 'scene': piecewise-constant label regions + correlated image."""
+    """A blocky 'scene': piecewise-constant label regions whose colors are a
+    fixed function of the class, plus noise."""
+    global _COLORS
+    if _COLORS is None:
+        _COLORS = _class_colors()
     label = np.zeros((h, w), np.int32)
-    image = np.zeros((h, w, 3), np.float32)
+    image = np.empty((h, w, 3), np.float32)
+    image[:] = _COLORS[0]
     n_regions = rng.randint(4, 9)
     for _ in range(n_regions):
         cls = rng.randint(0, NUM_CLASSES)
         y0, x0 = rng.randint(0, h), rng.randint(0, w)
         hh, ww = rng.randint(h // 4, h), rng.randint(w // 4, w)
         label[y0:y0 + hh, x0:x0 + ww] = cls
-        color = rng.rand(3).astype(np.float32) * 2 - 1
-        image[y0:y0 + hh, x0:x0 + ww] = color
+        image[y0:y0 + hh, x0:x0 + ww] = _COLORS[cls]
     image += rng.randn(h, w, 3).astype(np.float32) * 0.1
     # sprinkle ignore pixels like real boundaries
     ignore = rng.rand(h, w) < 0.02

@@ -159,7 +159,10 @@ class Trainer:
         cfg = self.cfg
         self.train_loader.set_epoch(epoch)
         num_img_tr = len(self.train_loader)
-        vis_every = max(num_img_tr // 10, 1)
+        # ~10 image summaries per epoch (reference: train_adapt.py:189);
+        # short epochs log once instead of every step.
+        vis_every = max(num_img_tr // 10, 1) if num_img_tr >= 10 \
+            else max(num_img_tr, 1)
         sums: Dict[str, float] = {}
         pending = []  # device scalars; synced lazily
         t0 = time.time()
