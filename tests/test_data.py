@@ -145,8 +145,13 @@ def test_gta5_split(fake_dataset_dirs):
     val = GTA5(d["src_img"], d["src_label"], 32, 32, "val")
     test = GTA5(d["src_img"], d["src_label"], 32, 32, "test")
     assert len(train) == 4 and len(val) == 1 and len(test) == 1  # 70/20/10 of 6
-    # splits are disjoint
-    assert not (set(train.files) & set(val.files) & set(test.files))
+    # splits are pairwise disjoint (the reference's repeated global-stream
+    # shuffles make its splits overlap — gta5.py:10,24; fixed here)
+    assert not (set(train.files) & set(val.files))
+    assert not (set(train.files) & set(test.files))
+    assert not (set(val.files) & set(test.files))
+    assert set(train.files) | set(val.files) | set(test.files) == \
+        set(train.files + val.files + test.files)
     assert val[0]["image"].shape == (32, 32, 3)
 
 
