@@ -58,11 +58,15 @@ class NativeEvalLoader:
             ranges.append((lo, hi))
         if not ranges:
             return
-        # one-batch lookahead in a worker thread
+        # one-batch lookahead in a worker thread; exceptions propagate to
+        # the consumer instead of surfacing as a missing result
         result = {}
 
         def fill(i):
-            result[i] = self._load(*ranges[i])
+            try:
+                result[i] = self._load(*ranges[i])
+            except Exception as e:  # re-raised on the consuming thread
+                result[i] = e
 
         t = threading.Thread(target=fill, args=(0,))
         t.start()
@@ -72,4 +76,6 @@ class NativeEvalLoader:
             if i + 1 < len(ranges):
                 t = threading.Thread(target=fill, args=(i + 1,))
                 t.start()
+            if isinstance(batch, Exception):
+                raise batch
             yield batch
