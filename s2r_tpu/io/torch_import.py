@@ -25,12 +25,18 @@ from s2r_tpu.models.mobilenet import block_plan
 
 def _np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
-        return t
-    return t.detach().cpu().numpy()  # torch tensor
+        arr = t
+    else:
+        arr = t.detach().cpu().numpy()  # torch tensor
+    # float16/bf16 sources widen to f32; f32/f64 pass through (f64 matters
+    # for the float64 parity harness)
+    if arr.dtype not in (np.float32, np.float64):
+        arr = arr.astype(np.float32)
+    return arr
 
 
 def _conv_w(t) -> np.ndarray:
-    return np.transpose(_np(t), (2, 3, 1, 0)).astype(np.float32)
+    return np.ascontiguousarray(np.transpose(_np(t), (2, 3, 1, 0)))
 
 
 class _TreeBuilder:
@@ -49,17 +55,17 @@ class _TreeBuilder:
                   _conv_w(sd[torch_key + ".weight"]))
         if bias:
             self._set(self.params, path + ("bias",),
-                      _np(sd[torch_key + ".bias"]).astype(np.float32))
+                      _np(sd[torch_key + ".bias"]))
 
     def bn(self, sd, torch_key, path):
         self._set(self.params, path + ("scale",),
-                  _np(sd[torch_key + ".weight"]).astype(np.float32))
+                  _np(sd[torch_key + ".weight"]))
         self._set(self.params, path + ("bias",),
-                  _np(sd[torch_key + ".bias"]).astype(np.float32))
+                  _np(sd[torch_key + ".bias"]))
         self._set(self.stats, path + ("mean",),
-                  _np(sd[torch_key + ".running_mean"]).astype(np.float32))
+                  _np(sd[torch_key + ".running_mean"]))
         self._set(self.stats, path + ("var",),
-                  _np(sd[torch_key + ".running_var"]).astype(np.float32))
+                  _np(sd[torch_key + ".running_var"]))
 
 
 def import_backbone(sd: Dict, output_stride: int = 16,

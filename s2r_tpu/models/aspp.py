@@ -59,7 +59,8 @@ class ASPP(nn.Module):
 
         # Global-average-pool branch; align-corners upsample of a 1x1 map is a
         # broadcast (assp.py:55-58,70-71).
-        g = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        g = jnp.mean(x, axis=(1, 2), keepdims=True,
+                     dtype=jnp.promote_types(x.dtype, jnp.float32))
         g = g.astype(self.dtype)
         g = Conv2d(256, 1, dtype=self.dtype, name="gap_conv")(g)
         g = BatchNorm(dtype=self.dtype, name="gap_bn")(g, not train)

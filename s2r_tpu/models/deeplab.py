@@ -34,6 +34,9 @@ class DeepLab(nn.Module):
     freeze_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize blocks/ASPP/decoder in backward
+    # reference fixed_padding BN-statistics quirk (see models/mobilenet.py);
+    # exact torch train dynamics when True, ~10% faster steps when False
+    pad_stats: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -48,12 +51,14 @@ class DeepLab(nn.Module):
             dec_cls = nn.remat(Decoder, static_argnums=(3,))
         high, low = MobileNetV2(output_stride=self.output_stride,
                                 dtype=self.dtype, remat=self.remat,
+                                pad_stats=self.pad_stats,
                                 name="backbone")(x, bn_train)
         feat = aspp_cls(backbone=self.backbone,
                         output_stride=self.output_stride,
                         dtype=self.dtype, name="aspp")(high, bn_train)
         logits = dec_cls(num_classes=self.num_classes, backbone=self.backbone,
                          dtype=self.dtype, name="decoder")(feat, low, bn_train)
-        logits = resize_bilinear_align_corners(logits, x.shape[1:3],
-                                               dtype=jnp.float32)
+        logits = resize_bilinear_align_corners(
+            logits, x.shape[1:3],
+            dtype=jnp.promote_types(x.dtype, jnp.float32))
         return logits, feat

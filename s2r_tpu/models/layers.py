@@ -162,13 +162,14 @@ class BatchNorm(nn.Module):
                 _BN_IMPL == "pallas_interpret")
         else:
             # Single pass: E[x] and E[x^2] reduce together over one read of
-            # x; the f32 casts fuse into the reduction (no f32 copy lands
-            # in HBM).
-            x32 = x.astype(jnp.float32)
+            # x; the >=f32 casts fuse into the reduction (no widened copy
+            # lands in HBM).
+            stat_t = jnp.promote_types(x.dtype, jnp.float32)
+            x32 = x.astype(stat_t)
             mean = jnp.mean(x32, axis=(0, 1, 2))
             var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
-            inv = lax.rsqrt(var + self.eps) * scale
-            shift = bias - mean * inv
+            inv = lax.rsqrt(var + self.eps) * scale.astype(stat_t)
+            shift = bias.astype(stat_t) - mean * inv
             y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
         if not self.is_initializing():
             # Unbiased variance feeds the running estimate
@@ -185,8 +186,25 @@ def relu(x):
     return jnp.maximum(x, 0)
 
 
+@jax.custom_jvp
 def relu6(x):
+    """ReLU6 with torch's hardtanh subgradient: d/dx = 1 iff 0 < x < 6
+    (STRICT — zero at the kinks).
+
+    This matters: the reference's fixed_padding structure parks thousands of
+    activations *exactly* on the x=0 kink (the padded rings), where JAX's
+    default clip/max tie-breaking picks a different subgradient than torch
+    and training dynamics diverge (found by finite-difference arbitration in
+    the full-train-step parity work)."""
     return jnp.clip(x, 0, 6)
+
+
+@relu6.defjvp
+def _relu6_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.clip(x, 0, 6)
+    mask = (x > 0) & (x < 6)
+    return y, jnp.where(mask, t, 0).astype(t.dtype)
 
 
 def leaky_relu(x, negative_slope=0.2):

@@ -10,12 +10,11 @@ Capability parity with reference modeling/backbone/mobilenet.py:9-145:
 
 TPU-native notes:
 - NHWC + HWIO; depthwise convs via feature_group_count=channels.
-- The reference's `fixed_padding` before each block (mobilenet.py:62-63) pads
-  the block *input* and runs the 1x1 expand conv over the padded ring; since
-  the expand conv is bias-free, that ring is zeros and the computation is
-  identical to padding only the depthwise conv symmetrically by `dilation` —
-  which is what we do.  (Only train-mode BN statistics see a microscopic
-  difference from the zero ring; eval-mode logits are bit-identical.)
+- The reference's `fixed_padding` before each block (mobilenet.py:62-63)
+  pads the block *input*, so the expand BN's train-mode statistics include
+  the resulting zero ring.  `pad_stats=True` (default) reproduces that
+  exactly — see InvertedResidual — making one full train step match torch
+  (test_train_step_parity.py); eval-mode logits are identical either way.
 """
 
 from __future__ import annotations
@@ -73,26 +72,43 @@ def block_plan(output_stride: int, width_mult: float = 1.0):
 class InvertedResidual(nn.Module):
     """[1x1 expand + BN + ReLU6] -> 3x3 depthwise (stride/dilation) + BN +
     ReLU6 -> 1x1 project + BN, with identity residual when stride==1 and
-    in==out (reference: mobilenet.py:26-68)."""
+    in==out (reference: mobilenet.py:26-68).
+
+    pad_stats=True reproduces the reference's `fixed_padding`-before-the-
+    block quirk (mobilenet.py:62-63): the block INPUT is zero-padded by
+    `dilation`, so the bias-free 1x1 expand conv emits a zero ring and the
+    expand BN computes its train-mode batch statistics over the padded
+    extent.  Eval-mode outputs are identical either way (the depthwise conv
+    consumes the ring), but training dynamics only match torch exactly with
+    the ring included — verified by the full-train-step parity test.
+    pad_stats=False computes BN on unpadded tensors (tighter layouts).
+    """
 
     out_ch: int
     stride: int
     dilation: int
     expand_ratio: int
     dtype: jnp.dtype = jnp.float32
+    pad_stats: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_ch = x.shape[-1]
         hidden = int(round(in_ch * self.expand_ratio))
         use_res = self.stride == 1 and in_ch == self.out_ch
+        d = self.dilation
         y = x
         if self.expand_ratio != 1:
+            if self.pad_stats:
+                y = jnp.pad(y, ((0, 0), (d, d), (d, d), (0, 0)))
             y = Conv2d(hidden, 1, dtype=self.dtype, name="expand_conv")(y)
             y = BatchNorm(dtype=self.dtype, name="expand_bn")(y, not train)
             y = relu6(y)
-        y = Conv2d(hidden, 3, stride=self.stride, padding=self.dilation,
-                   dilation=self.dilation, groups=hidden, dtype=self.dtype,
+            dw_pad = 0 if self.pad_stats else d
+        else:
+            dw_pad = d
+        y = Conv2d(hidden, 3, stride=self.stride, padding=dw_pad,
+                   dilation=d, groups=hidden, dtype=self.dtype,
                    name="dw_conv")(y)
         y = BatchNorm(dtype=self.dtype, name="dw_bn")(y, not train)
         y = relu6(y)
@@ -110,6 +126,7 @@ class MobileNetV2(nn.Module):
     # batch 8, ~10 GB stored temporaries); dropping the 6x-expanded hidden
     # activations trades spare MXU FLOPs for the scarce resource.
     remat: bool = False
+    pad_stats: bool = True  # reference fixed_padding BN-statistics quirk
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -127,7 +144,7 @@ class MobileNetV2(nn.Module):
                 block_plan(self.output_stride, self.width_mult)):
             y = block_cls(out_ch=out_ch, stride=stride,
                           dilation=dilation, expand_ratio=t,
-                          dtype=self.dtype,
+                          dtype=self.dtype, pad_stats=self.pad_stats,
                           name=f"features_{i + 1}")(y, train)
             if i == LOW_LEVEL_SPLIT - 1:
                 low = y

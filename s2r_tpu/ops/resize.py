@@ -24,13 +24,14 @@ import numpy as np
 
 @functools.lru_cache(maxsize=64)
 def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """(out_size, in_size) align-corners bilinear interpolation matrix.
+    """(out_size, in_size) align-corners bilinear interpolation matrix (f64;
+    cast to the compute dtype at use).
 
     Row o holds the weights of input samples for output sample o at
     coordinate o * (in-1)/(out-1)  (torch align_corners=True convention;
     out_size==1 maps to coordinate 0, in_size==1 broadcasts).
     """
-    m = np.zeros((out_size, in_size), dtype=np.float32)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
     if in_size == 1:
         m[:, 0] = 1.0
         return m
@@ -39,7 +40,7 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     lo = np.floor(coords).astype(np.int64)
     lo = np.clip(lo, 0, in_size - 1)
     hi = np.minimum(lo + 1, in_size - 1)
-    w = (coords - lo).astype(np.float32)
+    w = coords - lo
     rows = np.arange(out_size)
     np.add.at(m, (rows, lo), 1.0 - w)
     np.add.at(m, (rows, hi), w)
@@ -57,11 +58,12 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw, dtype=None) -> jnp.nda
     if (oh, ow) == (h, w):
         return x if dtype is None else x.astype(dtype)
     out_dtype = dtype if dtype is not None else x.dtype
-    mh = jnp.asarray(_interp_matrix(h, oh))
-    mw = jnp.asarray(_interp_matrix(w, ow))
-    # Interpolate in f32: weights are exact dyadic-ish fractions and the two
+    # Interpolate in >= f32 (f64 inputs keep f64 — precision tests): the two
     # matmuls accumulate on the MXU in f32 regardless of activation dtype.
-    y = x.astype(jnp.float32)
+    compute = jnp.promote_types(x.dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix(h, oh), compute)
+    mw = jnp.asarray(_interp_matrix(w, ow), compute)
+    y = x.astype(compute)
     y = jnp.einsum("oh,bhwc->bowc", mh, y, precision="highest")
     y = jnp.einsum("pw,bowc->bopc", mw, y, precision="highest")
     return y.astype(out_dtype)

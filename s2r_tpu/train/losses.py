@@ -33,19 +33,20 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     not contribute and do not enter the normalizer.
     """
     c = logits.shape[-1]
-    logits = logits.astype(jnp.float32)
+    f = jnp.promote_types(logits.dtype, jnp.float32)
+    logits = logits.astype(f)
     labels = labels.astype(jnp.int32)
     valid = (labels >= 0) & (labels < c) & (labels != ignore_index)
     labels_c = jnp.clip(labels, 0, c - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     # one-hot contraction (MXU/VPU-friendly; avoids gather)
-    onehot = jax.nn.one_hot(labels_c, c, dtype=jnp.float32)
+    onehot = jax.nn.one_hot(labels_c, c, dtype=f)
     nll = -jnp.sum(logp * onehot, axis=-1)
     if weight is not None:
-        w = jnp.sum(onehot * weight.astype(jnp.float32), axis=-1)
+        w = jnp.sum(onehot * weight.astype(f), axis=-1)
     else:
         w = jnp.ones_like(nll)
-    w = w * valid.astype(jnp.float32)
+    w = w * valid.astype(f)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
