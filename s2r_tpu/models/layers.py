@@ -74,7 +74,13 @@ class Conv2d(nn.Module):
     dtype: Dtype = jnp.float32  # compute dtype
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 fill: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """`fill` ([C] per-channel constants, depthwise only): convolve as
+        if the padding ring held `fill` instead of zeros, WITHOUT
+        materializing a padded tensor:  conv(pad_v(x)) = conv(pad_0(x - v))
+        + v * sum(kernel).  Used for the reference's fixed_padding BN
+        quirk (models/mobilenet.py) at zero cost."""
         kh, kw = _pair(self.kernel_size)
         in_ch = x.shape[-1]
         assert in_ch % self.groups == 0, (in_ch, self.groups)
@@ -83,11 +89,16 @@ class Conv2d(nn.Module):
                 "torch_default": torch_default_conv_init}[self.weight_init]
         kernel = self.param("kernel", init, kshape)
         ph, pw = _pair(self.padding)
+        xin = x.astype(self.dtype)
+        if fill is not None:
+            assert self.groups == in_ch and self.features == in_ch, \
+                "fill is only defined for depthwise convs"
+            xin = xin - fill.astype(self.dtype)
         # No explicit preferred_element_type: the TPU MXU accumulates bf16
         # operands in f32 internally, and a widened output dtype breaks the
         # conv VJP (mixed-dtype transposed conv).
         y = lax.conv_general_dilated(
-            x.astype(self.dtype),
+            xin,
             kernel.astype(self.dtype),
             window_strides=_pair(self.stride),
             padding=((ph, ph), (pw, pw)),
@@ -95,6 +106,10 @@ class Conv2d(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
         )
+        if fill is not None:
+            ksum = jnp.sum(kernel, axis=(0, 1, 2))  # [C] for depthwise
+            y = y + (fill.astype(jnp.float32)
+                     * ksum.astype(jnp.float32)).astype(y.dtype)
         if self.use_bias:
             fan_in = kh * kw * (in_ch // self.groups)
             bound = 1.0 / fan_in ** 0.5
@@ -134,7 +149,14 @@ class BatchNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, use_running_average: bool,
+                 zero_pad_width: int = 0):
+        """zero_pad_width=d computes statistics AS IF x were zero-padded by
+        d on both spatial dims (without materializing the padding) and
+        additionally returns the per-channel value the padding ring takes
+        after normalization — the analytic form of the reference's
+        fixed_padding BN quirk (models/mobilenet.py).  Returns y, or
+        (y, ring) when zero_pad_width > 0."""
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -142,6 +164,7 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
+        d = zero_pad_width
 
         # Statistics accumulate in f32 (reduction dtype), but the per-element
         # normalization runs in the compute dtype so no f32 copy of the
@@ -152,14 +175,18 @@ class BatchNorm(nn.Module):
             inv = lax.rsqrt(var + self.eps) * scale
             shift = bias - mean * inv
             y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+            if d:
+                return y.astype(self.dtype), shift
             return y.astype(self.dtype)
 
-        if _BN_IMPL.startswith("pallas") and not self.is_initializing():
+        if d == 0 and _BN_IMPL.startswith("pallas") \
+                and not self.is_initializing():
             from s2r_tpu.ops.pallas.batchnorm import batch_norm_train
 
             y, mean, var = batch_norm_train(
                 x, scale, bias, self.eps,
                 _BN_IMPL == "pallas_interpret")
+            shift = None
         else:
             # Single pass: E[x] and E[x^2] reduce together over one read of
             # x; the >=f32 casts fuse into the reduction (no widened copy
@@ -167,18 +194,28 @@ class BatchNorm(nn.Module):
             stat_t = jnp.promote_types(x.dtype, jnp.float32)
             x32 = x.astype(stat_t)
             mean = jnp.mean(x32, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            mean2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            if d:
+                # zero-padded-extent statistics: sums are unchanged, the
+                # pixel count grows by the ring
+                h, w = x.shape[1], x.shape[2]
+                r = (h * w) / ((h + 2 * d) * (w + 2 * d))
+                mean = mean * r
+                mean2 = mean2 * r
+            var = mean2 - jnp.square(mean)
             inv = lax.rsqrt(var + self.eps) * scale.astype(stat_t)
             shift = bias.astype(stat_t) - mean * inv
             y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
         if not self.is_initializing():
             # Unbiased variance feeds the running estimate
             # (reference: batchnorm.py:113-125).
-            n = x.shape[0] * x.shape[1] * x.shape[2]
+            n = x.shape[0] * (x.shape[1] + 2 * d) * (x.shape[2] + 2 * d)
             unbiased = var * (n / max(n - 1, 1))
             m = self.momentum
             ra_mean.value = (1 - m) * ra_mean.value + m * mean
             ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        if d:
+            return y.astype(self.dtype), shift
         return y.astype(self.dtype)
 
 

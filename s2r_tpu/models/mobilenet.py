@@ -76,12 +76,20 @@ class InvertedResidual(nn.Module):
 
     pad_stats=True reproduces the reference's `fixed_padding`-before-the-
     block quirk (mobilenet.py:62-63): the block INPUT is zero-padded by
-    `dilation`, so the bias-free 1x1 expand conv emits a zero ring and the
+    `dilation`, so the bias-free 1x1 expand conv emits a zero ring, the
     expand BN computes its train-mode batch statistics over the padded
-    extent.  Eval-mode outputs are identical either way (the depthwise conv
-    consumes the ring), but training dynamics only match torch exactly with
-    the ring included — verified by the full-train-step parity test.
-    pad_stats=False computes BN on unpadded tensors (tighter layouts).
+    extent, and the depthwise conv's effective padding value is the ring's
+    post-BN/ReLU6 value rather than zero.  Eval-mode outputs are identical
+    either way; training dynamics only match torch exactly with the ring
+    included (full-train-step parity test).
+
+    The ring is reproduced ANALYTICALLY, never materialized: a 1x1 conv
+    commutes with zero-padding, so padded-extent BN statistics are the
+    unpadded sums over a larger count (BatchNorm(zero_pad_width=d)) and the
+    ring's constant value v = relu6(shift) enters the depthwise conv via
+    conv(pad_v(x)) = conv(pad_0(x - v)) + v*sum(kernel) (Conv2d fill=).
+    Tensors keep their unpadded (tile-friendly) shapes — exact semantics at
+    zero cost.
     """
 
     out_ch: int
@@ -98,18 +106,19 @@ class InvertedResidual(nn.Module):
         use_res = self.stride == 1 and in_ch == self.out_ch
         d = self.dilation
         y = x
+        fill = None
         if self.expand_ratio != 1:
-            if self.pad_stats:
-                y = jnp.pad(y, ((0, 0), (d, d), (d, d), (0, 0)))
             y = Conv2d(hidden, 1, dtype=self.dtype, name="expand_conv")(y)
-            y = BatchNorm(dtype=self.dtype, name="expand_bn")(y, not train)
+            if self.pad_stats:
+                y, ring = BatchNorm(dtype=self.dtype, name="expand_bn")(
+                    y, not train, zero_pad_width=d)
+                fill = relu6(ring)
+            else:
+                y = BatchNorm(dtype=self.dtype, name="expand_bn")(y, not train)
             y = relu6(y)
-            dw_pad = 0 if self.pad_stats else d
-        else:
-            dw_pad = d
-        y = Conv2d(hidden, 3, stride=self.stride, padding=dw_pad,
+        y = Conv2d(hidden, 3, stride=self.stride, padding=d,
                    dilation=d, groups=hidden, dtype=self.dtype,
-                   name="dw_conv")(y)
+                   name="dw_conv")(y, fill=fill)
         y = BatchNorm(dtype=self.dtype, name="dw_bn")(y, not train)
         y = relu6(y)
         y = Conv2d(self.out_ch, 1, dtype=self.dtype, name="project_conv")(y)
