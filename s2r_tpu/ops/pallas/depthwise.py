@@ -19,6 +19,14 @@ A custom VJP makes it trainable:
   flipped kernel — this same kernel again;
 - dk[dy, dx, c] = sum_nhw x_shifted * g — 9 multiply-reduces left to XLA
   (tiny next to the conv itself and fused with neighbours).
+
+STATUS: numerically verified in interpret mode (tests/test_pallas_depthwise
+.py).  The Mosaic TPU lowering currently rejects this block spec (mixing
+Element-indexed and Blocked dims; (8,128)-divisibility of trailing block
+dims), so the kernel is not yet wired into the model — and the measured
+payoff is bounded: the whole conv category is ~9% of step time in the
+512x1024 profile, with XLA's depthwise lowering already adequate.  Revisit
+with an all-Element block spec if depthwise ever dominates a profile.
 """
 
 from __future__ import annotations
