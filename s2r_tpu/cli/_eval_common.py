@@ -109,7 +109,7 @@ def validation(cfg: Config, params, bstats, eval_step, val_loader,
     for batch in val_loader:
         loss, cm, _ = eval_step(params, bstats, jnp.asarray(batch["image"]),
                                 jnp.asarray(batch["label"]))
-        ev._device_cm = ev._device_cm + cm
+        ev.merge(cm)
         test_loss += float(loss)
     acc = ev.Pixel_Accuracy()
     acc_class = ev.Pixel_Accuracy_Class()

@@ -77,6 +77,11 @@ class Evaluator:
         self._device_cm = self._device_cm + confusion_from_logits(
             jnp.asarray(logits), jnp.asarray(gt_image), self.num_class)
 
+    def merge(self, cm: jnp.ndarray):
+        """Accumulate a precomputed [C, C] confusion matrix (e.g. the one a
+        jitted eval step returns) without leaving the device."""
+        self._device_cm = self._device_cm + cm
+
     # --- metric formulas (reference metrics.py:9-32) ---
     def Pixel_Accuracy(self) -> float:
         cm = self.confusion_matrix

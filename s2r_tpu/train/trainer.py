@@ -242,7 +242,7 @@ class Trainer:
         for batch in val_iter:
             loss, cm, _ = self.eval_step(params, bstats, batch["image"],
                                          batch["label"])
-            self.evaluator._device_cm = self.evaluator._device_cm + cm
+            self.evaluator.merge(cm)
             test_loss += float(loss)
             n_batches += 1
 
