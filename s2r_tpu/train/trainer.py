@@ -115,6 +115,12 @@ class Trainer:
 
         Mirrors train_adapt.py:94-113: with --ft (default True) optimizer
         state is not restored and start_epoch resets to 0."""
+        if path == "auto":
+            path = self._latest_checkpoint()
+            if path is None:
+                print("=> --resume auto: no prior checkpoint found, "
+                      "starting fresh")
+                return
         if not os.path.isfile(path):
             raise RuntimeError(f"=> no checkpoint found at '{path}'")
         cfg = self.cfg
@@ -153,6 +159,18 @@ class Trainer:
             self.best_pred = payload["best_pred"]
             print(f"=> loaded checkpoint '{path}' (epoch {payload['epoch']})")
         self.state = replicate(self.state, self.mesh)
+
+    def _latest_checkpoint(self) -> Optional[str]:
+        """Newest checkpoint across this run directory's experiments
+        (`--resume auto` — crash/preemption recovery the reference lacks)."""
+        import glob
+
+        pattern = os.path.join(self.saver.directory, "experiment_*",
+                               "checkpoint.ckpt")
+        candidates = glob.glob(pattern)
+        if not candidates:
+            return None
+        return max(candidates, key=os.path.getmtime)
 
     # ------------------------------------------------------------------
     def training(self, epoch: int) -> Dict[str, float]:
@@ -272,10 +290,20 @@ class Trainer:
         cfg = self.cfg
         print(f"Starting Epoch: {self.start_epoch}")
         print(f"Total Epoches: {cfg.epochs}")
-        with trace(cfg.profile_dir):
-            for epoch in range(self.start_epoch, cfg.epochs):
-                self.training(epoch)
-                if not cfg.no_val and \
-                        epoch % cfg.eval_interval == (cfg.eval_interval - 1):
-                    self.validation(epoch)
-        self.writer.close()
+        epoch = self.start_epoch
+        try:
+            with trace(cfg.profile_dir):
+                for epoch in range(self.start_epoch, cfg.epochs):
+                    self.training(epoch)
+                    if not cfg.no_val and \
+                            epoch % cfg.eval_interval == \
+                            (cfg.eval_interval - 1):
+                        self.validation(epoch)
+        except KeyboardInterrupt:
+            # salvage the run: an interrupt should not cost the epoch
+            print(f"\n=> interrupted at epoch {epoch}; saving checkpoint")
+            self.saver.save_checkpoint(self.state, epoch, self.best_pred,
+                                       is_best=False)
+            raise
+        finally:
+            self.writer.close()
