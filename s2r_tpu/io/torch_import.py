@@ -134,6 +134,33 @@ def import_domain(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     return b.params, b.stats
 
 
+def import_resnet(sd: Dict, depth: str = "resnet101",
+                  prefix: str = "") -> Tuple[Dict, Dict]:
+    """torch(vision)-layout ResNet state dict -> (params, batch_stats).
+
+    Key layout: conv1/bn1 stem; layer{L}.{B}.{conv1,bn1,conv2,bn2,conv3,
+    bn3[,downsample.0,downsample.1]} -> our layer{L}_{B}/... names
+    (s2r_tpu/models/resnet.py).  Classifier fc.* keys are ignored.
+    """
+    blocks = {"resnet101": (3, 4, 23, 3), "resnet50": (3, 4, 6, 3)}[depth]
+    b = _TreeBuilder()
+    p = prefix
+    b.conv(sd, f"{p}conv1", ("conv1",))
+    b.bn(sd, f"{p}bn1", ("bn1",))
+    for li in range(4):
+        for bi in range(blocks[li]):
+            tk = f"{p}layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            for sub in ("conv1", "conv2", "conv3"):
+                b.conv(sd, f"{tk}.{sub}", (name, sub))
+            for sub in ("bn1", "bn2", "bn3"):
+                b.bn(sd, f"{tk}.{sub}", (name, sub))
+            if f"{tk}.downsample.0.weight" in sd:
+                b.conv(sd, f"{tk}.downsample.0", (name, "downsample_conv"))
+                b.bn(sd, f"{tk}.downsample.1", (name, "downsample_bn"))
+    return b.params, b.stats
+
+
 def import_discriminator(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     b = _TreeBuilder()
     p = prefix

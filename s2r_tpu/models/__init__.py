@@ -15,6 +15,11 @@ from s2r_tpu.models.mobilenet import MobileNetV2
 def build_backbone(backbone: str, output_stride: int, dtype):
     if backbone == "mobilenet":
         return MobileNetV2(output_stride=output_stride, dtype=dtype)
+    if backbone in ("resnet", "resnet101", "resnet50"):
+        from s2r_tpu.models.resnet import ResNet
+
+        depth = "resnet50" if backbone == "resnet50" else "resnet101"
+        return ResNet(depth=depth, output_stride=output_stride, dtype=dtype)
     raise NotImplementedError(backbone)
 
 

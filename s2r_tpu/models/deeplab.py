@@ -42,17 +42,25 @@ class DeepLab(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: [N, H, W, 3] -> (logits [N, H, W, C] float32, aspp feature)."""
-        if self.backbone != "mobilenet":
-            raise NotImplementedError(self.backbone)
         bn_train = train and not self.freeze_bn
         aspp_cls, dec_cls = ASPP, Decoder
         if self.remat:
             aspp_cls = nn.remat(ASPP, static_argnums=(2,))
             dec_cls = nn.remat(Decoder, static_argnums=(3,))
-        high, low = MobileNetV2(output_stride=self.output_stride,
-                                dtype=self.dtype, remat=self.remat,
-                                pad_stats=self.pad_stats,
-                                name="backbone")(x, bn_train)
+        if self.backbone == "mobilenet":
+            backbone = MobileNetV2(output_stride=self.output_stride,
+                                   dtype=self.dtype, remat=self.remat,
+                                   pad_stats=self.pad_stats, name="backbone")
+        elif self.backbone in ("resnet", "resnet101", "resnet50"):
+            from s2r_tpu.models.resnet import ResNet
+
+            depth = "resnet101" if self.backbone in ("resnet", "resnet101") \
+                else "resnet50"
+            backbone = ResNet(depth=depth, output_stride=self.output_stride,
+                              dtype=self.dtype, name="backbone")
+        else:
+            raise NotImplementedError(self.backbone)
+        high, low = backbone(x, bn_train)
         feat = aspp_cls(backbone=self.backbone,
                         output_stride=self.output_stride,
                         dtype=self.dtype, name="aspp")(high, bn_train)
