@@ -89,12 +89,17 @@ class Trainer:
         which silently keeps only matching keys)."""
         import torch
 
-        from s2r_tpu.io.torch_import import import_backbone
+        from s2r_tpu.io.torch_import import import_backbone, import_resnet
 
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if "state_dict" in sd:
             sd = sd["state_dict"]
-        bp, bs = import_backbone(sd, self.cfg.out_stride)
+        if self.cfg.backbone == "mobilenet":
+            bp, bs = import_backbone(sd, self.cfg.out_stride)
+        else:
+            depth = "resnet50" if self.cfg.backbone == "resnet50" \
+                else "resnet101"
+            bp, bs = import_resnet(sd, depth)
         params = dict(self.state.params)
         params["G"] = {**params["G"], "backbone": jax.tree.map(jnp.asarray, bp)}
         if self.method.name == "output_adapt":
