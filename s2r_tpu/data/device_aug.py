@@ -22,7 +22,7 @@ mIoU, not pixels, for augmentation).  Enable with --device-aug.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ from __future__ import annotations
 import os
 import queue
 import random
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 

@@ -12,8 +12,6 @@ import os
 import threading
 from typing import Dict, Iterator, List, Optional
 
-import numpy as np
-
 from s2r_tpu import native
 from s2r_tpu.data.datasets import _LUT
 from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD

@@ -23,7 +23,7 @@ reference's nn.BatchNorm2d and its entire sync_batchnorm/ package.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ TPU-native notes:
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ saver, summaries), which live in s2r_tpu.train.trainer.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ segmenter logits — jax.grad expresses both exactly.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
-
 import numpy as np
 
 from s2r_tpu.data.palette import decode_seg_map_sequence
