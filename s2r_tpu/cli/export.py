@@ -1,0 +1,67 @@
+"""Convert an s2r_tpu checkpoint to a reference-format torch .pth.tar.
+
+Usage:
+    python -m s2r_tpu.cli.export --resume run/.../model_best.ckpt \
+        --out exported.pth.tar [--schema single|four]
+
+'single' matches train_adapt.py's checkpoint layout; 'four' matches
+train.py's (feature-adaption checkpoints include the domain classifier).
+The exported file strict-loads into the reference's torch modules
+(tests/test_torch_export.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from s2r_tpu.config import (add_common_flags, apply_platform_override,
+                            config_from_args)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="export s2r_tpu checkpoint to reference torch format")
+    add_common_flags(parser)
+    parser.add_argument("--out", type=str, required=True)
+    parser.add_argument("--schema", type=str, default="single",
+                        choices=["single", "four"])
+    parser.add_argument("--method", type=str, default="output_adapt",
+                        choices=["output_adapt", "feature_adapt",
+                                 "source_only"])
+    args = parser.parse_args(argv)
+    apply_platform_override()
+    cfg = config_from_args(args)
+    if not cfg.resume:
+        parser.error("--resume <checkpoint> is required")
+
+    import jax
+
+    from s2r_tpu.core.mesh import make_mesh
+    from s2r_tpu.io.torch_export import save_reference_checkpoint
+    from s2r_tpu.train.setup import build_method
+    from s2r_tpu.train.trainer import Trainer
+
+    m = build_method(cfg, iters_per_epoch=1, method=args.method)
+    t = object.__new__(Trainer)
+    t.cfg = cfg
+    t.method = m
+    t.state = m.init_state(jax.random.PRNGKey(cfg.seed))
+    t.best_pred = 0.0
+    t.start_epoch = 0
+    t.mesh = make_mesh(1)
+    t._resume(cfg.resume)
+    params, bstats = m.eval_variables(t.state)
+
+    domain = None
+    if args.schema == "four" and m.name != "output_adapt":
+        # feature-method states carry the domain classifier under 'D'
+        domain = (t.state.params["D"], t.state.batch_stats["D"])
+    save_reference_checkpoint(args.out, params, bstats,
+                              epoch=0, best_pred=t.best_pred,
+                              output_stride=cfg.out_stride,
+                              schema=args.schema, domain=domain)
+    print(f"exported {args.schema}-schema checkpoint to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

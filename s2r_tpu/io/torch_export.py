@@ -1,0 +1,168 @@
+"""Exporter: s2r_tpu parameter pytrees -> reference torch checkpoints.
+
+The inverse of torch_import — lets reference tooling (its val*/test* drivers
+or any torch DeepLab-V3+ stack) consume weights trained here.  Both
+reference schemas are supported:
+- single-dict (train_adapt.py:204-209): {'state_dict', 'epoch', 'optimizer',
+  'best_pred'}
+- 4-model dict (train.py:242-253)
+
+Layouts are transposed back (HWIO -> OIHW); every BatchNorm also gets the
+`num_batches_tracked` buffer torch's strict load_state_dict expects.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from s2r_tpu.models.mobilenet import block_plan
+
+
+def _t(a) -> "object":
+    import torch
+
+    return torch.from_numpy(np.asarray(a, np.float32).copy())
+
+
+def _conv(out: Dict, key: str, leaf: Dict):
+    import torch
+
+    out[f"{key}.weight"] = _t(np.transpose(np.asarray(leaf["kernel"]),
+                                           (3, 2, 0, 1)))
+    if "bias" in leaf:
+        out[f"{key}.bias"] = _t(leaf["bias"])
+
+
+def _bn(out: Dict, key: str, p: Dict, s: Dict):
+    import torch
+
+    out[f"{key}.weight"] = _t(p["scale"])
+    out[f"{key}.bias"] = _t(p["bias"])
+    out[f"{key}.running_mean"] = _t(s["mean"])
+    out[f"{key}.running_var"] = _t(s["var"])
+    out[f"{key}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+
+def export_backbone(params: Dict, stats: Dict, output_stride: int = 16,
+                    prefix: str = "") -> Dict:
+    out: Dict = {}
+    _conv(out, f"{prefix}features.0.0", params["features_0_conv"])
+    _bn(out, f"{prefix}features.0.1", params["features_0_bn"],
+        stats["features_0_bn"])
+    for i, (_, _, _, _, t) in enumerate(block_plan(output_stride)):
+        name = f"features_{i + 1}"
+        tk = f"{prefix}features.{i + 1}.conv"
+        if t == 1:
+            idx = {"dw_conv": 0, "dw_bn": 1, "project_conv": 3,
+                   "project_bn": 4}
+        else:
+            idx = {"expand_conv": 0, "expand_bn": 1, "dw_conv": 3,
+                   "dw_bn": 4, "project_conv": 6, "project_bn": 7}
+        for sub, j in idx.items():
+            if sub.endswith("_bn"):
+                _bn(out, f"{tk}.{j}", params[name][sub], stats[name][sub])
+            else:
+                _conv(out, f"{tk}.{j}", params[name][sub])
+    # The reference registers features[0:4] / features[4:] a second time as
+    # low_level_features / high_level_features (mobilenet.py:116-117), so a
+    # strict load_state_dict expects alias keys for every tensor.
+    aliases = {}
+    for k, v in out.items():
+        rest = k[len(prefix):]
+        if not rest.startswith("features."):
+            continue
+        idx_str = rest.split(".")[1]
+        tail = rest[len(f"features.{idx_str}."):]
+        i = int(idx_str)
+        alias_root = "low_level_features" if i < 4 else "high_level_features"
+        aliases[f"{prefix}{alias_root}.{i}.{tail}"] = v
+    out.update(aliases)
+    return out
+
+
+def export_aspp(params: Dict, stats: Dict, prefix: str = "") -> Dict:
+    out: Dict = {}
+    for k in range(1, 5):
+        _conv(out, f"{prefix}aspp{k}.atrous_conv",
+              params[f"aspp{k}"]["atrous_conv"])
+        _bn(out, f"{prefix}aspp{k}.bn", params[f"aspp{k}"]["bn"],
+            stats[f"aspp{k}"]["bn"])
+    _conv(out, f"{prefix}global_avg_pool.1", params["gap_conv"])
+    _bn(out, f"{prefix}global_avg_pool.2", params["gap_bn"], stats["gap_bn"])
+    _conv(out, f"{prefix}conv1", params["conv1"])
+    _bn(out, f"{prefix}bn1", params["bn1"], stats["bn1"])
+    return out
+
+
+def export_decoder(params: Dict, stats: Dict, prefix: str = "") -> Dict:
+    out: Dict = {}
+    _conv(out, f"{prefix}conv1", params["conv1"])
+    _bn(out, f"{prefix}bn1", params["bn1"], stats["bn1"])
+    _conv(out, f"{prefix}last_conv.0", params["last_conv_0"])
+    _bn(out, f"{prefix}last_conv.1", params["last_bn_0"], stats["last_bn_0"])
+    _conv(out, f"{prefix}last_conv.4", params["last_conv_1"])
+    _bn(out, f"{prefix}last_conv.5", params["last_bn_1"], stats["last_bn_1"])
+    _conv(out, f"{prefix}last_conv.8", params["classifier"])
+    return out
+
+
+def export_domain(params: Dict, stats: Dict, prefix: str = "") -> Dict:
+    out: Dict = {}
+    _conv(out, f"{prefix}DC_adnn1.0", params["adnn1_conv"])
+    _bn(out, f"{prefix}DC_adnn1.1", params["adnn1_bn"], stats["adnn1_bn"])
+    _conv(out, f"{prefix}DC_adnn2.0", params["adnn2_conv"])
+    _bn(out, f"{prefix}DC_adnn2.1", params["adnn2_bn"], stats["adnn2_bn"])
+    _conv(out, f"{prefix}DC_adnn3", params["adnn3_conv"])
+    return out
+
+
+def export_deeplab(params: Dict, stats: Dict,
+                   output_stride: int = 16) -> Dict:
+    """Composite {'backbone','aspp','decoder'} trees -> single state dict
+    with reference key names (train_adapt schema)."""
+    out: Dict = {}
+    out.update(export_backbone(params["backbone"], stats["backbone"],
+                               output_stride, prefix="backbone."))
+    out.update(export_aspp(params["aspp"], stats["aspp"], prefix="aspp."))
+    out.update(export_decoder(params["decoder"], stats["decoder"],
+                              prefix="decoder."))
+    return out
+
+
+def save_reference_checkpoint(path: str, params: Dict, stats: Dict,
+                              epoch: int = 0, best_pred: float = 0.0,
+                              output_stride: int = 16,
+                              domain: Optional[Tuple[Dict, Dict]] = None,
+                              schema: str = "single") -> None:
+    """Write a reference-format .pth.tar.
+
+    schema='single': train_adapt.py:204-209 layout.
+    schema='four':   train.py:242-253 layout (stats trees keyed like the
+                     feature-method TrainState: params/stats are the
+                     composite G trees; `domain` supplies the d_model).
+    """
+    import torch
+
+    if schema == "single":
+        ckpt = {"state_dict": export_deeplab(params, stats, output_stride),
+                "optimizer": {}, "epoch": int(epoch),
+                "best_pred": float(best_pred)}
+    elif schema == "four":
+        ckpt = {
+            "backbone_model_state_dict": export_backbone(
+                params["backbone"], stats["backbone"], output_stride),
+            "assp_model_state_dict": export_aspp(params["aspp"],
+                                                 stats["aspp"]),
+            "y_model_state_dict": export_decoder(params["decoder"],
+                                                 stats["decoder"]),
+            "d_model_state_dict": (export_domain(*domain) if domain
+                                   else {}),
+            "task_optimizer": {}, "d_optimizer": {}, "d_inv_optimizer": {},
+            "c_optimizer": {}, "epoch": int(epoch),
+            "best_pred": float(best_pred),
+        }
+    else:
+        raise ValueError(schema)
+    torch.save(ckpt, path)
