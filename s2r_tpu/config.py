@@ -176,6 +176,11 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--lr", type=float, default=d.lr, metavar="LR")
     p.add_argument("--lr-scheduler", type=str, default=d.lr_scheduler,
                    choices=["poly", "step", "cos"], dest="lr_scheduler")
+    p.add_argument("--lr-step", type=int, default=d.lr_step, dest="lr_step",
+                   help="epochs per 0.1x decay for --lr-scheduler step")
+    p.add_argument("--warmup-epochs", type=int, default=d.warmup_epochs,
+                   dest="warmup_epochs",
+                   help="linear LR warmup epochs (0 = off)")
     p.add_argument("--momentum", type=float, default=d.momentum, metavar="M")
     p.add_argument("--weight-decay", type=float, default=d.weight_decay,
                    dest="weight_decay", metavar="M")
@@ -232,3 +237,10 @@ def apply_platform_override() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+    # Multi-host process-group bootstrap (no-op unless JAX_COORDINATOR_ADDRESS
+    # / JAX_NUM_PROCESSES / JAX_PROCESS_ID are set).  Must also run before
+    # first backend use, so it lives in the same CLI bootstrap hook.
+    from s2r_tpu.core.distributed import maybe_initialize
+
+    maybe_initialize()

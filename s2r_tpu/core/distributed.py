@@ -48,6 +48,16 @@ def maybe_initialize(coordinator_address: Optional[str] = None,
     return jax.process_count() > 1
 
 
+def process_info():
+    """(process_index, process_count) of the running JAX process group.
+
+    (0, 1) for single-process runs.  Initializes the backend; call after
+    maybe_initialize()."""
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
 def local_shard(index_range: int, process_id: int, process_count: int):
     """Strided per-host index assignment for input sharding."""
     return list(range(process_id, index_range, process_count))

@@ -45,10 +45,35 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Device-put a host array with `sharding`, multi-host aware.
+
+    Single-process: plain device_put.  Multi-process (jax.distributed
+    initialized, mesh spanning all hosts): `x` is this process's LOCAL
+    slice for dims carrying a mesh axis (e.g. the per-host batch shard) and
+    the full host-identical array for replicated dims; the global jax.Array
+    is assembled without any cross-host data movement.
+    """
+    pc = jax.process_count()
+    if pc == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    global_shape = list(x.shape)
+    for d, axis in enumerate(sharding.spec):
+        if axis is not None:
+            global_shape[d] *= pc
+    return jax.make_array_from_process_local_data(sharding, x,
+                                                  tuple(global_shape))
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-dim sharding."""
+    """Device-put a pytree of host arrays with batch-dim sharding.
+
+    Multi-host: each process passes its local batch shard (see
+    data/loader.py per-host strided slicing); the result is the global
+    batch."""
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: put_global(x, sharding), batch)
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
@@ -64,10 +89,14 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_spatial(batch, mesh: Mesh):
     """Device-put eval batches with the image/label H axis sharded."""
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "--eval-spatial-shard is single-process; multi-host eval uses "
+            "per-host batch sharding instead")
     sharding = spatial_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: put_global(x, sharding), tree)

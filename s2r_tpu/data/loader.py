@@ -43,7 +43,8 @@ def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, num_workers: int = 4, seed: int = 0,
-                 prefetch: int = 4):
+                 prefetch: int = 4, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +53,17 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # Multi-host input sharding: batch_size is the GLOBAL batch; every
+        # host builds the identical epoch permutation (RNG seeded by
+        # (seed, epoch) only) and takes a disjoint strided slice of each
+        # global batch, so the assembled global array (mesh.put_global)
+        # covers each batch exactly once.
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -72,6 +84,11 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         else:
             batches = [b for b in batches if b]
+        if self.process_count > 1:
+            # Ragged tails can't form a uniform global array; drop them
+            # (all hosts agree — the permutation is host-independent).
+            batches = [b[self.process_index::self.process_count]
+                       for b in batches if len(b) % self.process_count == 0]
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -105,7 +122,14 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
     """(train, val, test, nclass) — parity with dataloders/__init__.py:4-28,
     plus the 'synthetic' dataset for data-free runs."""
     seed = cfg.seed if seed is None else seed
-    kw = dict(num_workers=cfg.workers, seed=seed)
+    from s2r_tpu.core.distributed import process_info
+
+    pi, pc = process_info()
+    if pc > 1 and cfg.data_backend == "native":
+        raise NotImplementedError(
+            "--data-backend native does not yet shard input per host")
+    kw = dict(num_workers=cfg.workers, seed=seed, process_index=pi,
+              process_count=pc)
     if cfg.dataset == "gtav2cityscapes":
         train_set = D.TrainSet(cfg.src_img_root, cfg.src_label_root,
                                cfg.tgt_img_root, cfg.base_size,

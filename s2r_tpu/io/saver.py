@@ -24,7 +24,10 @@ BEST_NAME = "model_best.ckpt"
 
 
 class Saver:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, create: bool = True):
+        """create=False (non-main hosts in a multi-process run): compute the
+        paths for reads (--resume auto) but claim no experiment dir and
+        never expect to write."""
         self.cfg = cfg
         self.directory = os.path.join(cfg.run_root, cfg.dataset,
                                       cfg.checkname or "experiment")
@@ -34,7 +37,8 @@ class Saver:
         self.runs = runs
         self.experiment_dir = os.path.join(self.directory,
                                            f"experiment_{run_id}")
-        os.makedirs(self.experiment_dir, exist_ok=True)
+        if create:
+            os.makedirs(self.experiment_dir, exist_ok=True)
 
     def save_checkpoint(self, state, epoch: int, best_pred: float,
                         is_best: bool, filename: str = CKPT_NAME,

@@ -40,9 +40,15 @@ def _conv_w(t) -> np.ndarray:
 
 
 class _TreeBuilder:
+    """Also records `order`: (our_path, is_conv_weight) per torch parameter,
+    in torch `named_parameters()` order (builder call order mirrors module
+    definition order) — the key to mapping torch optimizer state, whose
+    param ids index that order (torch.optim state_dict format)."""
+
     def __init__(self):
         self.params: Dict = {}
         self.stats: Dict = {}
+        self.order = []  # [(path, is_conv_weight)]
 
     def _set(self, root, path, value):
         d = root
@@ -53,15 +59,19 @@ class _TreeBuilder:
     def conv(self, sd, torch_key, path, bias=False):
         self._set(self.params, path + ("kernel",),
                   _conv_w(sd[torch_key + ".weight"]))
+        self.order.append((path + ("kernel",), True))
         if bias:
             self._set(self.params, path + ("bias",),
                       _np(sd[torch_key + ".bias"]))
+            self.order.append((path + ("bias",), False))
 
     def bn(self, sd, torch_key, path):
         self._set(self.params, path + ("scale",),
                   _np(sd[torch_key + ".weight"]))
         self._set(self.params, path + ("bias",),
                   _np(sd[torch_key + ".bias"]))
+        self.order.append((path + ("scale",), False))
+        self.order.append((path + ("bias",), False))
         self._set(self.stats, path + ("mean",),
                   _np(sd[torch_key + ".running_mean"]))
         self._set(self.stats, path + ("var",),
@@ -69,7 +79,8 @@ class _TreeBuilder:
 
 
 def import_backbone(sd: Dict, output_stride: int = 16,
-                    prefix: str = "") -> Tuple[Dict, Dict]:
+                    prefix: str = "", order_sink=None,
+                    path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
     """torch MobileNetV2 state dict -> (params, batch_stats).
 
     torch key layout (mobilenet.py:37-60,91): features.0.{0,1} is the stem
@@ -94,10 +105,13 @@ def import_backbone(sd: Dict, output_stride: int = 16,
                 b.bn(sd, f"{tk}.{j}", (name, sub))
             else:
                 b.conv(sd, f"{tk}.{j}", (name, sub))
+    if order_sink is not None:
+        order_sink.extend((path_prefix + p, c) for p, c in b.order)
     return b.params, b.stats
 
 
-def import_aspp(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+def import_aspp(sd: Dict, prefix: str = "", order_sink=None,
+                path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
     b = _TreeBuilder()
     p = prefix
     for k in range(1, 5):
@@ -107,10 +121,13 @@ def import_aspp(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     b.bn(sd, f"{p}global_avg_pool.2", ("gap_bn",))
     b.conv(sd, f"{p}conv1", ("conv1",))
     b.bn(sd, f"{p}bn1", ("bn1",))
+    if order_sink is not None:
+        order_sink.extend((path_prefix + p, c) for p, c in b.order)
     return b.params, b.stats
 
 
-def import_decoder(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+def import_decoder(sd: Dict, prefix: str = "", order_sink=None,
+                   path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
     b = _TreeBuilder()
     p = prefix
     b.conv(sd, f"{p}conv1", ("conv1",))
@@ -120,10 +137,13 @@ def import_decoder(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     b.conv(sd, f"{p}last_conv.4", ("last_conv_1",))
     b.bn(sd, f"{p}last_conv.5", ("last_bn_1",))
     b.conv(sd, f"{p}last_conv.8", ("classifier",), bias=True)
+    if order_sink is not None:
+        order_sink.extend((path_prefix + p, c) for p, c in b.order)
     return b.params, b.stats
 
 
-def import_domain(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+def import_domain(sd: Dict, prefix: str = "", order_sink=None,
+                  path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
     b = _TreeBuilder()
     p = prefix
     b.conv(sd, f"{p}DC_adnn1.0", ("adnn1_conv",))
@@ -131,11 +151,14 @@ def import_domain(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     b.conv(sd, f"{p}DC_adnn2.0", ("adnn2_conv",))
     b.bn(sd, f"{p}DC_adnn2.1", ("adnn2_bn",))
     b.conv(sd, f"{p}DC_adnn3", ("adnn3_conv",), bias=True)
+    if order_sink is not None:
+        order_sink.extend((path_prefix + p, c) for p, c in b.order)
     return b.params, b.stats
 
 
 def import_resnet(sd: Dict, depth: str = "resnet101",
-                  prefix: str = "") -> Tuple[Dict, Dict]:
+                  prefix: str = "", order_sink=None,
+                  path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
     """torch(vision)-layout ResNet state dict -> (params, batch_stats).
 
     Key layout: conv1/bn1 stem; layer{L}.{B}.{conv1,bn1,conv2,bn2,conv3,
@@ -158,14 +181,19 @@ def import_resnet(sd: Dict, depth: str = "resnet101",
             if f"{tk}.downsample.0.weight" in sd:
                 b.conv(sd, f"{tk}.downsample.0", (name, "downsample_conv"))
                 b.bn(sd, f"{tk}.downsample.1", (name, "downsample_bn"))
+    if order_sink is not None:
+        order_sink.extend((path_prefix + p, c) for p, c in b.order)
     return b.params, b.stats
 
 
-def import_discriminator(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+def import_discriminator(sd: Dict, prefix: str = "", order_sink=None,
+                         path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
     b = _TreeBuilder()
     p = prefix
     for k in ("conv1", "conv2", "conv3", "conv4", "classifier"):
         b.conv(sd, f"{p}{k}", (k,), bias=True)
+    if order_sink is not None:
+        order_sink.extend((path_prefix + p, c) for p, c in b.order)
     return b.params, b.stats
 
 
@@ -180,27 +208,200 @@ def import_deeplab(sd: Dict, output_stride: int = 16) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# torch optimizer-state import (--ft false resume parity)
+# ---------------------------------------------------------------------------
+#
+# The reference restores optimizer state dicts on resume unless --ft
+# (train.py:138-142, train_adapt.py:105-106).  torch.optim state_dict format:
+# {'state': {id: {per-param tensors}}, 'param_groups': [{'params': [ids]}]}
+# where ids index the parameters in construction (group-concatenated) order —
+# exactly the `order` lists the importers record.  Buffers shaped like conv
+# weights get the same OIHW->HWIO transpose as the weights themselves.
+# torch SGD's momentum_buffer equals our zero-initialized buffer after the
+# same steps (buf_1 = d either way), so values copy over directly; Adam's
+# exp_avg/exp_avg_sq/step map to m/v/count.
+
+
+def _ordered_param_ids(opt_sd: Dict):
+    ids = []
+    for g in opt_sd["param_groups"]:
+        ids.extend(g["params"])
+    return ids
+
+
+def _get_tree(root: Dict, path):
+    for p in path:
+        root = root[p]
+    return root
+
+
+def _state_value(entry_value, is_conv: bool) -> np.ndarray:
+    return _conv_w(entry_value) if is_conv else _np(entry_value)
+
+
+def import_optimizer_state(opt_sd: Dict, order, params_template) -> Dict:
+    """torch optimizer state dict -> per-leaf trees over `params_template`
+    (the imported numpy params tree the optimizer covers).
+
+    Returns {'kind': 'sgd'|'adam'|'empty', ...trees}.  Missing per-param
+    entries (e.g. never-stepped optimizers, or SGD before its first step)
+    come back zero — identical to fresh init."""
+    ids = _ordered_param_ids(opt_sd)
+    if len(ids) != len(order):
+        raise ValueError(
+            f"optimizer covers {len(ids)} params but architecture order has "
+            f"{len(order)} — checkpoint/architecture mismatch")
+    state = opt_sd.get("state", {})
+    kind = "empty"
+    for st in state.values():
+        if "exp_avg" in st:
+            kind = "adam"
+            break
+        if st.get("momentum_buffer") is not None:
+            kind = "sgd"
+            break
+    zeros = lambda: jax_tree_zeros(params_template)  # noqa: E731
+    if kind == "empty":
+        return {"kind": "empty"}
+    if kind == "sgd":
+        mom = zeros()
+        for pid, (path, is_conv) in zip(ids, order):
+            st = state.get(pid)
+            if st is None or st.get("momentum_buffer") is None:
+                continue
+            _set_tree(mom, path, _state_value(st["momentum_buffer"], is_conv))
+        return {"kind": "sgd", "momentum": mom}
+    m, v = zeros(), zeros()
+    count = 0
+    for pid, (path, is_conv) in zip(ids, order):
+        st = state.get(pid)
+        if st is None:
+            continue
+        _set_tree(m, path, _state_value(st["exp_avg"], is_conv))
+        _set_tree(v, path, _state_value(st["exp_avg_sq"], is_conv))
+        count = max(count, int(st.get("step", 0)))
+    return {"kind": "adam", "m": m, "v": v, "count": count}
+
+
+def jax_tree_zeros(template):
+    """Nested-dict deep copy with zero leaves (numpy)."""
+    if isinstance(template, dict):
+        return {k: jax_tree_zeros(v) for k, v in template.items()}
+    return np.zeros_like(np.asarray(template), dtype=np.float32)
+
+
+def _set_tree(root: Dict, path, value: np.ndarray):
+    for p in path[:-1]:
+        root = root[p]
+    assert root[path[-1]].shape == value.shape, (path, root[path[-1]].shape,
+                                                 value.shape)
+    root[path[-1]] = value
+
+
+def merge_torch_opt_state(opt_imports: Dict, params, opt_state: Dict) -> Dict:
+    """Imported torch optimizer trees -> the fused flat-buffer opt_state.
+
+    `params` is the (already-imported) TrainState.params; `opt_state` the
+    current state whose entries get replaced.  The flat layout is
+    jax.tree.flatten order over the params subtree each optimizer covers
+    (train/optim.py::_FlatSpec) — identical to what the train step's
+    FusedOptimizer rebuilds from the same params.
+    """
+    import jax.numpy as jnp
+
+    from s2r_tpu.train.optim import _FlatSpec
+
+    new_opt = dict(opt_state)
+    for key, imp in opt_imports.items():
+        if key not in new_opt or imp["kind"] == "empty":
+            continue  # zeros == fresh init (e.g. the never-stepped 'c')
+        cur = new_opt[key]
+        want = "sgd" if "momentum" in cur else "adam"
+        if imp["kind"] != want:
+            raise ValueError(
+                f"checkpoint optimizer '{key}' is {imp['kind']} but the run "
+                f"is configured for {want} — pass --optimizer to match or "
+                f"resume with --ft")
+        if key in ("G", "task", "c"):
+            sub = params["G"]
+        elif key in ("D", "d"):
+            sub = params["D"]
+        else:  # d_inv covers f = backbone + aspp
+            sub = {"backbone": params["G"]["backbone"],
+                   "aspp": params["G"]["aspp"]}
+        spec = _FlatSpec(sub)
+        if imp["kind"] == "sgd":
+            new_opt[key] = {"momentum": spec.flatten(imp["momentum"])}
+        else:
+            new_opt[key] = {"m": spec.flatten(imp["m"]),
+                            "v": spec.flatten(imp["v"]),
+                            "count": jnp.asarray(imp["count"], jnp.int32)}
+    return new_opt
+
+
 def import_reference_checkpoint(path: str, output_stride: int = 16) -> Dict:
     """Load a reference .pth.tar and return pytrees for whichever schema it
     holds:
       {'G': (params, stats), 'D': (params, stats) or None,
-       'epoch': int, 'best_pred': float, 'schema': 'single'|'four'}
+       'epoch': int, 'best_pred': float, 'schema': 'single'|'four',
+       'opt': {name: import_optimizer_state result} for optimizer states
+              present in the checkpoint (names match our opt_state keys:
+              'G' for single schema; 'task'/'d'/'d_inv'/'c' for four)}
     """
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     out = {"epoch": int(ckpt.get("epoch", 0)),
-           "best_pred": float(ckpt.get("best_pred", 0.0))}
+           "best_pred": float(ckpt.get("best_pred", 0.0)),
+           "opt": {}}
     if "state_dict" in ckpt:
         out["schema"] = "single"
-        out["G"] = import_deeplab(ckpt["state_dict"], output_stride)
+        # torch param-id order for the G optimizer: 1x group (backbone) then
+        # 10x group (aspp + decoder) — train_adapt.py:54-58 /
+        # deeplab.py:42-72.
+        order = []
+        sd = ckpt["state_dict"]
+        bp, bs = import_backbone(sd, output_stride, prefix="backbone.",
+                                 order_sink=order, path_prefix=("backbone",))
+        ap, as_ = import_aspp(sd, prefix="aspp.", order_sink=order,
+                              path_prefix=("aspp",))
+        dp, ds = import_decoder(sd, prefix="decoder.", order_sink=order,
+                                path_prefix=("decoder",))
+        params = {"backbone": bp, "aspp": ap, "decoder": dp}
+        out["G"] = (params, {"backbone": bs, "aspp": as_, "decoder": ds})
         out["D"] = None
+        # train_adapt.py:207 (D's Adam is not saved)
+        if isinstance(ckpt.get("optimizer"), dict) and \
+                "param_groups" in ckpt["optimizer"]:
+            out["opt"]["G"] = import_optimizer_state(ckpt["optimizer"],
+                                                     order, params)
     else:
         out["schema"] = "four"
+        b_order, a_order, y_order, d_order = [], [], [], []
         bp, bs = import_backbone(ckpt["backbone_model_state_dict"],
-                                 output_stride)
-        ap, as_ = import_aspp(ckpt["assp_model_state_dict"])
-        dp, ds = import_decoder(ckpt["y_model_state_dict"])
-        out["G"] = ({"backbone": bp, "aspp": ap, "decoder": dp},
+                                 output_stride, order_sink=b_order,
+                                 path_prefix=("backbone",))
+        ap, as_ = import_aspp(ckpt["assp_model_state_dict"],
+                              order_sink=a_order, path_prefix=("aspp",))
+        dp, ds = import_decoder(ckpt["y_model_state_dict"],
+                                order_sink=y_order, path_prefix=("decoder",))
+        g_params = {"backbone": bp, "aspp": ap, "decoder": dp}
+        out["G"] = (g_params,
                     {"backbone": bs, "aspp": as_, "decoder": ds})
-        out["D"] = import_domain(ckpt["d_model_state_dict"])
+        out["D"] = import_domain(ckpt["d_model_state_dict"],
+                                 order_sink=d_order)
+        # torch param-id orders (train.py:58-82): f = backbone + assp params,
+        # task/c over f+y, d over the domain classifier, d_inv over f.
+        f_order = b_order + a_order
+        fy_order = f_order + y_order
+        f_params = {"backbone": g_params["backbone"],
+                    "aspp": g_params["aspp"]}
+        for name, key, order, tmpl in (
+                ("task", "task_optimizer", fy_order, g_params),
+                ("d", "d_optimizer", d_order, out["D"][0]),
+                ("d_inv", "d_inv_optimizer", f_order, f_params),
+                ("c", "c_optimizer", fy_order, g_params)):
+            if isinstance(ckpt.get(key), dict) and "param_groups" in ckpt[key]:
+                out["opt"][name] = import_optimizer_state(ckpt[key], order,
+                                                          tmpl)
     return out

@@ -16,7 +16,7 @@ from typing import Dict, Iterable, Iterator
 import jax
 from jax.sharding import Mesh
 
-from s2r_tpu.core.mesh import batch_sharding
+from s2r_tpu.core.mesh import batch_sharding, put_global
 
 
 def _put(batch: Dict, sharding):
@@ -25,7 +25,9 @@ def _put(batch: Dict, sharding):
         if isinstance(v, (list, str)):
             out[k] = v
         else:
-            out[k] = jax.device_put(v, sharding)
+            # multi-host aware: v is the per-host batch shard and the
+            # result is the global batch array (core/mesh.py::put_global)
+            out[k] = put_global(v, sharding)
     return out
 
 

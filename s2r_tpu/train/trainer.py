@@ -39,8 +39,15 @@ from s2r_tpu.utils.summaries import TensorboardSummary
 
 def pick_num_devices(batch_size: int, requested: Optional[int]) -> int:
     """Largest device count <= available (and <= requested) dividing the
-    batch."""
+    batch.  Multi-host: the mesh must span every process's devices, so the
+    global batch must divide evenly."""
     avail = len(jax.devices())
+    if jax.process_count() > 1:
+        if batch_size % avail:
+            raise ValueError(
+                f"multi-host runs need global batch_size ({batch_size}) "
+                f"divisible by total devices ({avail})")
+        return avail
     limit = min(avail, requested or avail)
     for d in range(limit, 0, -1):
         if batch_size % d == 0:
@@ -48,15 +55,35 @@ def pick_num_devices(batch_size: int, requested: Optional[int]) -> int:
     return 1
 
 
+class _NullWriter:
+    """Summary-writer stand-in for non-main processes."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_image(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(self, cfg: Config, method: Optional[str] = None):
         self.cfg = cfg
         if cfg.prng_impl:
             jax.config.update("jax_default_prng_impl", cfg.prng_impl)
-        self.saver = Saver(cfg)
-        self.saver.save_experiment_config()
-        self.summary = TensorboardSummary(self.saver.experiment_dir)
-        self.writer = self.summary.create_summary()
+        # Only process 0 owns the experiment directory, checkpoints and
+        # summaries; other hosts compute/train identically but write nothing.
+        self.is_main = jax.process_index() == 0
+        self.saver = Saver(cfg, create=self.is_main)
+        if self.is_main:
+            self.saver.save_experiment_config()
+            self.summary = TensorboardSummary(self.saver.experiment_dir)
+            self.writer = self.summary.create_summary()
+        else:
+            self.summary = None
+            self.writer = _NullWriter()
 
         self.train_loader, self.val_loader, self.test_loader, self.nclass = \
             make_data_loader(cfg)
@@ -149,6 +176,13 @@ class Trainer:
             self.best_pred = imported["best_pred"]
             if not cfg.ft:
                 self.start_epoch = imported["epoch"]
+                # torch optimizer-state restore (train.py:138-142,
+                # train_adapt.py:105-106): momentum buffers / Adam moments
+                # map onto the fused flat-buffer layout.
+                if imported.get("opt"):
+                    self.state = self.state.replace(
+                        opt_state=self._merge_torch_opt_state(
+                            imported["opt"]))
             print(f"=> imported reference checkpoint '{path}' "
                   f"(epoch {imported['epoch']}, schema {imported['schema']})")
         else:
@@ -164,6 +198,44 @@ class Trainer:
             self.best_pred = payload["best_pred"]
             print(f"=> loaded checkpoint '{path}' (epoch {payload['epoch']})")
         self.state = replicate(self.state, self.mesh)
+
+    def _merge_torch_opt_state(self, opt_imports: Dict) -> Dict:
+        """Imported torch optimizer trees -> our fused flat-buffer opt_state.
+
+        The flat layout is jax.tree.flatten order over the params subtree
+        each optimizer covers (train/optim.py::_FlatSpec), which the step's
+        FusedOptimizer rebuilds identically from the same (imported) params.
+        """
+        from s2r_tpu.train.optim import _FlatSpec
+
+        params = self.state.params
+        new_opt = dict(self.state.opt_state)
+        for key, imp in opt_imports.items():
+            if key not in new_opt or imp["kind"] == "empty":
+                continue  # zeros == fresh init (e.g. the never-stepped 'c')
+            cur = new_opt[key]
+            want = "sgd" if "momentum" in cur else "adam"
+            if imp["kind"] != want:
+                raise ValueError(
+                    f"checkpoint optimizer '{key}' is {imp['kind']} but the "
+                    f"run is configured for {want} — pass --optimizer to "
+                    f"match or resume with --ft")
+            if key in ("G", "task", "c"):
+                sub = params["G"]
+            elif key in ("D", "d"):
+                sub = params["D"]
+            else:  # d_inv covers f = backbone + aspp
+                sub = {"backbone": params["G"]["backbone"],
+                       "aspp": params["G"]["aspp"]}
+            spec = _FlatSpec(sub)
+            if imp["kind"] == "sgd":
+                new_opt[key] = {"momentum": spec.flatten(imp["momentum"])}
+            else:
+                new_opt[key] = {"m": spec.flatten(imp["m"]),
+                                "v": spec.flatten(imp["v"]),
+                                "count": jnp.asarray(imp["count"],
+                                                     jnp.int32)}
+        return new_opt
 
     def _latest_checkpoint(self) -> Optional[str]:
         """Newest checkpoint across this run directory's experiments
@@ -227,12 +299,15 @@ class Trainer:
               + " ".join(f"{k}: {means[k]:.3f}" for k in loss_keys)
               + f" ({means['images_per_sec']:.1f} img/s)")
 
-        if cfg.no_val:
+        if cfg.no_val and self.is_main:
             self.saver.save_checkpoint(self.state, epoch + 1, self.best_pred,
                                        is_best=False)
         return means
 
     def _log_train_images(self, arrays, global_step: int):
+        if not self.is_main or jax.process_count() > 1:
+            # multi-host: batch arrays are only partially addressable here
+            return
         try:
             params, bstats = self.method.eval_variables(self.state)
             img_key = "image" if "image" in arrays else "src_image"
@@ -284,8 +359,9 @@ class Trainer:
 
         if miou > self.best_pred:
             self.best_pred = miou
-            self.saver.save_checkpoint(self.state, epoch + 1, self.best_pred,
-                                       is_best=True)
+            if self.is_main:
+                self.saver.save_checkpoint(self.state, epoch + 1,
+                                           self.best_pred, is_best=True)
         return miou
 
     # ------------------------------------------------------------------
@@ -307,8 +383,9 @@ class Trainer:
         except KeyboardInterrupt:
             # salvage the run: an interrupt should not cost the epoch
             print(f"\n=> interrupted at epoch {epoch}; saving checkpoint")
-            self.saver.save_checkpoint(self.state, epoch, self.best_pred,
-                                       is_best=False)
+            if self.is_main:
+                self.saver.save_checkpoint(self.state, epoch, self.best_pred,
+                                           is_best=False)
             raise
         finally:
             self.writer.close()
