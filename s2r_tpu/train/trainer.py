@@ -180,9 +180,11 @@ class Trainer:
                 # train_adapt.py:105-106): momentum buffers / Adam moments
                 # map onto the fused flat-buffer layout.
                 if imported.get("opt"):
+                    from s2r_tpu.io.torch_import import merge_torch_opt_state
                     self.state = self.state.replace(
-                        opt_state=self._merge_torch_opt_state(
-                            imported["opt"]))
+                        opt_state=merge_torch_opt_state(
+                            imported["opt"], self.state.params,
+                            self.state.opt_state))
             print(f"=> imported reference checkpoint '{path}' "
                   f"(epoch {imported['epoch']}, schema {imported['schema']})")
         else:
@@ -198,44 +200,6 @@ class Trainer:
             self.best_pred = payload["best_pred"]
             print(f"=> loaded checkpoint '{path}' (epoch {payload['epoch']})")
         self.state = replicate(self.state, self.mesh)
-
-    def _merge_torch_opt_state(self, opt_imports: Dict) -> Dict:
-        """Imported torch optimizer trees -> our fused flat-buffer opt_state.
-
-        The flat layout is jax.tree.flatten order over the params subtree
-        each optimizer covers (train/optim.py::_FlatSpec), which the step's
-        FusedOptimizer rebuilds identically from the same (imported) params.
-        """
-        from s2r_tpu.train.optim import _FlatSpec
-
-        params = self.state.params
-        new_opt = dict(self.state.opt_state)
-        for key, imp in opt_imports.items():
-            if key not in new_opt or imp["kind"] == "empty":
-                continue  # zeros == fresh init (e.g. the never-stepped 'c')
-            cur = new_opt[key]
-            want = "sgd" if "momentum" in cur else "adam"
-            if imp["kind"] != want:
-                raise ValueError(
-                    f"checkpoint optimizer '{key}' is {imp['kind']} but the "
-                    f"run is configured for {want} — pass --optimizer to "
-                    f"match or resume with --ft")
-            if key in ("G", "task", "c"):
-                sub = params["G"]
-            elif key in ("D", "d"):
-                sub = params["D"]
-            else:  # d_inv covers f = backbone + aspp
-                sub = {"backbone": params["G"]["backbone"],
-                       "aspp": params["G"]["aspp"]}
-            spec = _FlatSpec(sub)
-            if imp["kind"] == "sgd":
-                new_opt[key] = {"momentum": spec.flatten(imp["momentum"])}
-            else:
-                new_opt[key] = {"m": spec.flatten(imp["m"]),
-                                "v": spec.flatten(imp["v"]),
-                                "count": jnp.asarray(imp["count"],
-                                                     jnp.int32)}
-        return new_opt
 
     def _latest_checkpoint(self) -> Optional[str]:
         """Newest checkpoint across this run directory's experiments
