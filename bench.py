@@ -89,6 +89,43 @@ def _bench_train_source(args):
         "vs_baseline": None}))
 
 
+def _bench_train_feature(args):
+    """BASELINE config 3: feature-space adaption step (train.py method —
+    3-optimizer summed-loss update with the domain classifier)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from s2r_tpu.config import Config
+    from s2r_tpu.train.setup import build_method
+
+    batch = args.batch_size or 8
+    cfg = Config(crop_size=H, base_size=H, batch_size=batch, epochs=200,
+                 precision=args.precision)
+    m = build_method(cfg, iters_per_epoch=1000, method="feature_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    b = {"src_image": jnp.asarray(rng.randn(batch, H, W, 3), jnp.float32),
+         "src_label": jnp.asarray(rng.randint(0, 19, (batch, H, W)),
+                                  jnp.int32),
+         "tgt_image": jnp.asarray(rng.randn(batch, H, W, 3), jnp.float32)}
+    step = jax.jit(m.step_fn, donate_argnums=0)
+    for _ in range(2 if args.quick else 3):
+        state, _ = step(state, b)
+    jax.block_until_ready(state.params)
+    iters = 5 if args.quick else 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = step(state, b)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "1024x512 train images/sec/chip (feature-space adaption)",
+        "value": round(batch / dt, 2), "unit": "images/sec/chip",
+        "vs_baseline": round(batch / dt / REFERENCE_IMG_PER_SEC_ESTIMATE,
+                             2)}))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -97,15 +134,19 @@ def main():
                         help="0 = auto-pick")
     parser.add_argument("--precision", type=str, default="bf16")
     parser.add_argument("--mode", type=str, default="train_adapt",
-                        choices=["train_adapt", "train_source", "infer"],
+                        choices=["train_adapt", "train_source",
+                                 "train_feature", "infer"],
                         help="train_adapt = BASELINE config 4 (the tracked "
-                             "metric); train_source = config 2; infer = "
+                             "metric); train_source = config 2; "
+                             "train_feature = config 3; infer = "
                              "config 1 (batch-1 513x513)")
     args = parser.parse_args()
     if args.mode == "infer":
         return _bench_infer(args)
     if args.mode == "train_source":
         return _bench_train_source(args)
+    if args.mode == "train_feature":
+        return _bench_train_feature(args)
 
     import jax
     import jax.numpy as jnp

@@ -8,7 +8,7 @@
 // Python-object hops, writing directly into the caller's pinned NHWC
 // buffers.
 //
-// Build: see s2r_tpu/native/build.py (g++ -O3 -shared, links libpng/z).
+// Build: s2r_tpu/native/__init__.py::_build (g++ -O3 -shared, links libpng/z).
 
 #include <png.h>
 
