@@ -126,6 +126,119 @@ def _bench_train_feature(args):
                              2)}))
 
 
+def _ensure_e2e_dataset(root: str, n_src: int = 48, n_tgt: int = 24):
+    """Synthetic GTA5/Cityscapes-sized PNG triplets on disk (cached):
+    source 1914x1052 RGB + labelIds, target 2048x1024 RGB."""
+    import os
+
+    from PIL import Image
+
+    from s2r_tpu.data.datasets import VALID_CLASSES
+    from s2r_tpu.data.synthetic import _scene
+
+    stamp = os.path.join(root, f".stamp_{n_src}_{n_tgt}")
+    dirs = {k: os.path.join(root, k) for k in ("src", "lbl", "tgt")}
+    if os.path.exists(stamp):
+        return dirs
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    inv = np.asarray(VALID_CLASSES, np.uint8)  # trainId -> raw labelId
+    rng = np.random.RandomState(42)
+    for i in range(n_src):
+        img, lbl = _scene(rng, 1052, 1914)
+        raw = np.where(lbl == 255, 0, inv[np.clip(lbl, 0, 18)]).astype(
+            np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(dirs["src"], f"{i:05d}.png"))
+        Image.fromarray(raw).save(
+            os.path.join(dirs["lbl"], f"{i:05d}.png"))
+    for i in range(n_tgt):
+        img, _ = _scene(rng, 1024, 2048)
+        Image.fromarray(img).save(
+            os.path.join(dirs["tgt"], f"{i:05d}.png"))
+    with open(stamp, "w") as f:
+        f.write("ok")
+    return dirs
+
+
+def _bench_train_e2e(args):
+    """END-TO-END train throughput: PNGs on disk -> native C++ pipeline
+    (decode + flip + RandomScaleCrop + normalize) -> device transfer ->
+    the full output-adapt train step.  Reports e2e img/s plus the host
+    pipeline's standalone capacity (this host has few cores; the pipeline
+    scales with the thread pool on real TPU-VM hosts)."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from s2r_tpu.config import Config
+    from s2r_tpu.core.mesh import make_mesh, replicate
+    from s2r_tpu.data.native_loader import NativeTrainLoader
+    from s2r_tpu.parallel.feed import prefetch_to_device
+    from s2r_tpu.train.setup import build_method
+
+    dirs = _ensure_e2e_dataset(os.environ.get("S2R_E2E_DATA",
+                                              "/tmp/s2r_e2e_data"))
+    batch = args.batch_size or 8
+    threads = max(os.cpu_count() or 1, 1) * 2  # decode is zlib-bound
+    src = sorted(os.path.join(dirs["src"], f)
+                 for f in os.listdir(dirs["src"]))
+    tgt = sorted(os.path.join(dirs["tgt"], f)
+                 for f in os.listdir(dirs["tgt"]))
+    # u8 staging: the pipeline ships uint8 (4x less H2D) and a jitted
+    # device pass restores exact f32 normalization semantics
+    loader = NativeTrainLoader(src, dirs["lbl"], tgt, base_size=H,
+                               crop_size=(H, W), batch_size=batch,
+                               threads=threads, blur=False, emit_u8=True)
+
+    # host-only capacity (one epoch through the pipeline, no device)
+    import itertools
+    import time as _t
+
+    it = iter(loader)
+    next(it)  # warm page cache / lib
+    t0 = _t.perf_counter()
+    n_host = 0
+    for b in itertools.islice(it, 4):
+        n_host += len(b["src_image"])
+    host_rate = n_host / (_t.perf_counter() - t0)
+
+    cfg = Config(crop_size=H, base_size=H, batch_size=batch, epochs=200,
+                 precision=args.precision, dataset="synthetic")
+    method = build_method(cfg, iters_per_epoch=1000, method="output_adapt")
+    state = replicate(method.init_state(jax.random.PRNGKey(0)), make_mesh(1))
+    mesh = make_mesh(1)
+    step = jax.jit(method.step_fn, donate_argnums=0)
+
+    from s2r_tpu.data.device_aug import normalize_u8_batch
+    finish = jax.jit(normalize_u8_batch)
+
+    def epoch_batches():
+        for ep in itertools.count():
+            loader.set_epoch(ep)
+            yield from prefetch_to_device(loader, mesh)
+
+    it = epoch_batches()
+    for _ in range(2):  # compile + warmup
+        state, _m = step(state, finish(next(it)))
+    jax.block_until_ready(state.params)
+    iters = 5 if args.quick else 15
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _m = step(state, finish(next(it)))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    e2e = batch * iters / dt
+    print(json.dumps({
+        "metric": "1024x512 END-TO-END train images/sec/chip "
+                  "(PNG disk -> native pipeline -> output-adapt step)",
+        "value": round(e2e, 2), "unit": "images/sec/chip",
+        "vs_baseline": round(e2e / REFERENCE_IMG_PER_SEC_ESTIMATE, 2),
+        "host_pipeline_img_per_sec": round(host_rate, 2),
+        "host_cores": os.cpu_count()}))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -135,11 +248,12 @@ def main():
     parser.add_argument("--precision", type=str, default="bf16")
     parser.add_argument("--mode", type=str, default="train_adapt",
                         choices=["train_adapt", "train_source",
-                                 "train_feature", "infer"],
+                                 "train_feature", "train_e2e", "infer"],
                         help="train_adapt = BASELINE config 4 (the tracked "
                              "metric); train_source = config 2; "
-                             "train_feature = config 3; infer = "
-                             "config 1 (batch-1 513x513)")
+                             "train_feature = config 3; train_e2e = config "
+                             "4 with the host input pipeline in the loop; "
+                             "infer = config 1 (batch-1 513x513)")
     args = parser.parse_args()
     if args.mode == "infer":
         return _bench_infer(args)
@@ -147,6 +261,8 @@ def main():
         return _bench_train_source(args)
     if args.mode == "train_feature":
         return _bench_train_feature(args)
+    if args.mode == "train_e2e":
+        return _bench_train_e2e(args)
 
     import jax
     import jax.numpy as jnp

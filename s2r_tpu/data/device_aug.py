@@ -147,3 +147,25 @@ def augment_batch(batch: Dict[str, jnp.ndarray], rng, base_size: int,
         lambda i, l, k: _warp_one(i, l, k, base_size, crop_size)
     )(batch["image"], batch["label"], keys)
     return {"image": img, "label": lbl}
+
+
+def normalize_u8_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Finish a u8-staged, host-augmented batch on device: images /255,
+    ImageNet-normalize to f32; u8 labels widen to i32.  The transfer-optimal
+    feed: the native pipeline ships uint8 (4x less H2D traffic,
+    native/src/pipeline.cpp::s2r_train_batch emit_u8) and this jitted
+    elementwise pass restores the exact f32 semantics of host
+    normalization (custom_transforms.py:7-33)."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    out = {}
+    for k, v in batch.items():
+        if not hasattr(v, "dtype"):
+            out[k] = v
+        elif "label" in k:
+            out[k] = v.astype(jnp.int32)
+        elif v.dtype == jnp.uint8:
+            out[k] = (v.astype(jnp.float32) / 255.0 - mean) / std
+        else:
+            out[k] = v
+    return out

@@ -140,13 +140,16 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
                              cfg.crop_size)
         if cfg.data_backend == "native":
             from s2r_tpu import native
-            from s2r_tpu.data.native_loader import NativeEvalLoader
+            from s2r_tpu.data.native_loader import (NativeEvalLoader,
+                                                    NativeTrainLoader)
             if not native.available():
                 raise RuntimeError(
                     f"--data-backend native unavailable: "
                     f"{native.build_error()}")
-            train = DataLoader(train_set, cfg.batch_size, shuffle=True,
-                               drop_last=True, **kw)
+            train = NativeTrainLoader(train_set.sources, cfg.src_label_root,
+                                      train_set.targets, cfg.base_size,
+                                      cfg.crop_size, cfg.batch_size,
+                                      seed=seed, threads=cfg.workers)
             val_imgs = [os.path.join(
                 cfg.val_img_root,
                 os.path.basename(p)[:-len("gtFine_labelIds.png")]

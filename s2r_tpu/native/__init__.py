@@ -83,6 +83,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int, ctypes.c_int, c_u8p, c_f32p, c_f32p, c_f32p,
             c_i32p, ctypes.c_int]
+        lib.s2r_train_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, c_u8p, c_f32p, c_f32p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, c_i32p,
+            ctypes.c_int, c_f32p, c_i32p, c_f32p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -196,3 +202,61 @@ def eval_batch(img_paths: Sequence[str], lbl_paths: Optional[Sequence[str]],
         bad = img_paths[rc - 1]
         raise RuntimeError(f"native eval_batch failed on item {rc - 1}: {bad}")
     return images, labels
+
+
+def train_batch(src_paths: Sequence[str], lbl_paths: Sequence[str],
+                tgt_paths: Optional[Sequence[str]], base_size: int,
+                crop_size, lut: np.ndarray, mean, std,
+                seeds: Optional[Sequence[int]] = None, blur: bool = True,
+                forced: Optional[np.ndarray] = None, emit_u8: bool = False,
+                threads: int = 8):
+    """Full paired train-path batch (decode + flip + RandomScaleCrop + blur
+    + normalize/remap) in one C call on a thread pool.
+
+    crop_size: int (square, reference semantics) or (h, w).
+    seeds: per-sample uint64 augmentation seeds (deterministic resume).
+    forced: optional [n, 4] int32 (flip, short_size, x1, y1) pinning the
+    geometric draws (blur off) for cross-implementation tests.
+    emit_u8: skip host normalization; images/labels come back uint8 (4x
+    less host->device traffic; normalize on device —
+    data/device_aug.py::normalize_u8_batch).
+    Returns (src [n,h,w,3], lbl [n,h,w], tgt [n,h,w,3] or None) — f32/i32,
+    or u8 with emit_u8.
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(src_paths)
+    ch_, cw_ = (crop_size, crop_size) if isinstance(crop_size, int) \
+        else (crop_size[0], crop_size[1])
+    img_dt = np.uint8 if emit_u8 else np.float32
+    lbl_dt = np.uint8 if emit_u8 else np.int32
+    src = np.empty((n, ch_, cw_, 3), img_dt)
+    lbl = np.empty((n, ch_, cw_), lbl_dt)
+    tgt = None if tgt_paths is None else np.empty((n, ch_, cw_, 3), img_dt)
+    c_src = (ctypes.c_char_p * n)(*[p.encode() for p in src_paths])
+    c_lbl = (ctypes.c_char_p * n)(*[p.encode() for p in lbl_paths])
+    c_tgt = None if tgt_paths is None else (
+        ctypes.c_char_p * n)(*[p.encode() for p in tgt_paths])
+    lut = np.ascontiguousarray(lut, np.uint8)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    if seeds is None:
+        seeds = np.arange(n, dtype=np.uint64)
+    seeds = np.ascontiguousarray(seeds, np.uint64)
+    c_forced = None
+    if forced is not None:
+        forced = np.ascontiguousarray(forced, np.int32)
+        c_forced = forced.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.s2r_train_batch(
+        c_src, c_lbl, c_tgt, n, base_size, ch_, cw_, _u8p(lut),
+        mean.ctypes.data_as(f32p), std.ctypes.data_as(f32p),
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        int(blur), c_forced, int(emit_u8), src.ctypes.data_as(f32p),
+        lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        None if tgt is None else tgt.ctypes.data_as(f32p), threads)
+    if rc:
+        raise RuntimeError(
+            f"native train_batch failed on item {rc - 1}: "
+            f"{src_paths[rc - 1]}")
+    return src, lbl, tgt
