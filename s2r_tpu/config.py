@@ -65,6 +65,12 @@ class Config:
 
     # --- devices / precision (TPU-native; replaces --no-cuda/--gpu-ids) ---
     num_devices: Optional[int] = None  # default: all local devices
+    # Pad the per-chip batch up to a multiple of 8 inside the jitted step
+    # (N is the 8-wide sublane dim in XLA's TPU layouts; batch 4 runs ~2.5x
+    # slower than batch 8 unpadded).  Pad samples are masked out of BN
+    # statistics and every loss — exact small-batch semantics at
+    # padded-batch speed.  'auto' pads on TPU backends only.
+    batch_pad: str = "auto"  # 'auto' | 'off'
     precision: str = "bf16"  # 'bf16' compute / f32 params, or 'f32'
     # Reproduce the reference's fixed_padding BN-statistics quirk exactly
     # (expand-BN train stats include the padded zero ring — see
@@ -188,6 +194,10 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--use_balanced_weights", action="store_true",
                    default=d.use_balanced_weights)
     p.add_argument("--num-devices", type=int, default=None, dest="num_devices")
+    p.add_argument("--batch-pad", type=str, default=d.batch_pad,
+                   dest="batch_pad", choices=["auto", "off"],
+                   help="pad per-chip batch to a multiple of 8 inside the "
+                        "step (masked — exact semantics); 'auto' = TPU only")
     p.add_argument("--precision", type=str, default=d.precision,
                    choices=["bf16", "f32"])
     p.add_argument("--remat", action="store_true", dest="remat",

@@ -72,6 +72,9 @@ class Conv2d(nn.Module):
     use_bias: bool = False
     weight_init: str = "kaiming_normal"  # or 'torch_default'
     dtype: Dtype = jnp.float32  # compute dtype
+    s2d: bool = False  # 4x4/s2/p1 convs only: space-to-depth formulation
+    # (ops/s2d.py) — exact numerics, param shape unchanged.  Measured SLOWER
+    # in the 512x1024 train step (see ops/s2d.py); off by default.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -94,18 +97,26 @@ class Conv2d(nn.Module):
             assert self.groups == in_ch and self.features == in_ch, \
                 "fill is only defined for depthwise convs"
             xin = xin - fill.astype(self.dtype)
-        # No explicit preferred_element_type: the TPU MXU accumulates bf16
-        # operands in f32 internally, and a widened output dtype breaks the
-        # conv VJP (mixed-dtype transposed conv).
-        y = lax.conv_general_dilated(
-            xin,
-            kernel.astype(self.dtype),
-            window_strides=_pair(self.stride),
-            padding=((ph, ph), (pw, pw)),
-            rhs_dilation=_pair(self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        )
+        use_s2d = (self.s2d and (kh, kw) == (4, 4)
+                   and _pair(self.stride) == (2, 2) and (ph, pw) == (1, 1)
+                   and _pair(self.dilation) == (1, 1) and self.groups == 1
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d:
+            from s2r_tpu.ops.s2d import conv4x4s2_via_s2d
+            y = conv4x4s2_via_s2d(xin, kernel.astype(self.dtype))
+        else:
+            # No explicit preferred_element_type: the TPU MXU accumulates
+            # bf16 operands in f32 internally, and a widened output dtype
+            # breaks the conv VJP (mixed-dtype transposed conv).
+            y = lax.conv_general_dilated(
+                xin,
+                kernel.astype(self.dtype),
+                window_strides=_pair(self.stride),
+                padding=((ph, ph), (pw, pw)),
+                rhs_dilation=_pair(self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
         if fill is not None:
             ksum = jnp.sum(kernel, axis=(0, 1, 2))  # [C] for depthwise
             y = y + (fill.astype(jnp.float32)
@@ -123,6 +134,32 @@ class Conv2d(nn.Module):
 
 
 _BN_IMPL = "xla"  # 'xla' | 'pallas' | 'pallas_interpret' (process-wide)
+
+# Number of REAL samples in a padded batch (None = all real).  XLA's TPU
+# layouts put N in the 8-wide sublane dim: a per-chip batch that is not a
+# multiple of 8 costs up to 2.6x throughput (see CLAUDE.md), so the train
+# step may pad the batch with dummy samples and mask them out of every
+# cross-sample reduction.  BatchNorm reads this at TRACE time (the step
+# factories set it via `bn_real_batch` around their model applies), so stats
+# are computed over the first k samples only — exact small-batch semantics
+# at padded-batch speed.
+_BN_REAL_N = None
+
+
+class bn_real_batch:
+    """Context manager: trace BatchNorm stats over the first `n` samples."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __enter__(self):
+        global _BN_REAL_N
+        self._prev = _BN_REAL_N
+        _BN_REAL_N = self.n
+
+    def __exit__(self, *exc):
+        global _BN_REAL_N
+        _BN_REAL_N = self._prev
 
 
 def set_bn_impl(impl: str) -> None:
@@ -179,7 +216,11 @@ class BatchNorm(nn.Module):
                 return y.astype(self.dtype), shift
             return y.astype(self.dtype)
 
-        if d == 0 and _BN_IMPL.startswith("pallas") \
+        real_n = _BN_REAL_N
+        if real_n is not None and real_n >= x.shape[0]:
+            real_n = None  # nothing padded
+
+        if d == 0 and real_n is None and _BN_IMPL.startswith("pallas") \
                 and not self.is_initializing():
             from s2r_tpu.ops.pallas.batchnorm import batch_norm_train
 
@@ -193,8 +234,19 @@ class BatchNorm(nn.Module):
             # lands in HBM).
             stat_t = jnp.promote_types(x.dtype, jnp.float32)
             x32 = x.astype(stat_t)
-            mean = jnp.mean(x32, axis=(0, 1, 2))
-            mean2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            if real_n is not None:
+                # padded batch: zero the dummy samples inside the reduction
+                # pass and divide by the real count (w in {0,1}, so
+                # square(x*w) == square(x)*w — one masked copy serves both
+                # sums and never lands in HBM).
+                wm = (jnp.arange(x.shape[0]) < real_n).astype(stat_t)
+                x32 = x32 * wm[:, None, None, None]
+                denom = real_n * x.shape[1] * x.shape[2]
+                mean = jnp.sum(x32, axis=(0, 1, 2)) / denom
+                mean2 = jnp.sum(jnp.square(x32), axis=(0, 1, 2)) / denom
+            else:
+                mean = jnp.mean(x32, axis=(0, 1, 2))
+                mean2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
             if d:
                 # zero-padded-extent statistics: sums are unchanged, the
                 # pixel count grows by the ring
@@ -209,7 +261,8 @@ class BatchNorm(nn.Module):
         if not self.is_initializing():
             # Unbiased variance feeds the running estimate
             # (reference: batchnorm.py:113-125).
-            n = x.shape[0] * (x.shape[1] + 2 * d) * (x.shape[2] + 2 * d)
+            n_real = x.shape[0] if real_n is None else real_n
+            n = n_real * (x.shape[1] + 2 * d) * (x.shape[2] + 2 * d)
             unbiased = var * (n / max(n - 1, 1))
             m = self.momentum
             ra_mean.value = (1 - m) * ra_mean.value + m * mean
@@ -248,8 +301,39 @@ def leaky_relu(x, negative_slope=0.2):
     return jnp.where(x >= 0, x, negative_slope * x)
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rng_dropout(x, key, keep: float):
+    mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _rng_dropout_fwd(x, key, keep: float):
+    # Save ONLY the key: the mask (a [8,H,W,C] pred tensor on the hot path)
+    # is regenerated in the backward pass.  RNG bits are nearly free on the
+    # TPU (rbg impl) while the saved mask costs an HBM write + read + the
+    # layout copies XLA inserts between fwd/bwd fusions.
+    return _rng_dropout(x, key, keep), key
+
+
+def _rng_dropout_bwd(keep: float, key, g):
+    mask = jax.random.bernoulli(key, p=keep, shape=g.shape)
+    return (jnp.where(mask, g / keep, jnp.zeros_like(g)), None)
+
+
+_rng_dropout.defvjp(_rng_dropout_fwd, _rng_dropout_bwd)
+
+
 class Dropout(nn.Module):
-    """Element-wise dropout (reference uses nn.Dropout, not Dropout2d)."""
+    """Element-wise dropout (reference uses nn.Dropout, not Dropout2d).
+
+    Forward/backward values are the torch ones (mask ~ Bernoulli(keep),
+    kept elements scaled by 1/keep; grad passes through kept elements only).
+    The backward mask is recomputed from the same RNG key rather than saved
+    (see _rng_dropout_fwd) — a pure memory-traffic optimization with
+    bit-identical semantics."""
 
     rate: float
 
@@ -259,5 +343,4 @@ class Dropout(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+        return _rng_dropout(x, rng, keep)

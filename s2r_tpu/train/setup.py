@@ -48,13 +48,29 @@ def _init_model(model, rng, *args, **kwargs):
     )()
 
 
+def _step_pad_to(cfg: Config, n_devices: int) -> Optional[int]:
+    """Padded global batch for the train step (see Config.batch_pad):
+    per-chip batch rounded up to a multiple of 8, or None when already
+    aligned / padding disabled / not a TPU backend (under 'auto')."""
+    if cfg.batch_pad == "off":
+        return None
+    if cfg.batch_pad == "auto" and jax.default_backend() != "tpu":
+        return None
+    per_chip = -(-cfg.batch_size // n_devices)
+    padded = -(-per_chip // 8) * 8 * n_devices
+    return padded if padded > cfg.batch_size else None
+
+
 def build_method(cfg: Config, iters_per_epoch: int,
                  class_weights: Optional[jnp.ndarray] = None,
-                 method: Optional[str] = None) -> Method:
+                 method: Optional[str] = None,
+                 n_devices: int = 1) -> Method:
     """method: 'output_adapt' (train_adapt.py), 'feature_adapt' (train.py),
-    'source_only' (train.py --dataset gtav).  If None, inferred from cfg."""
+    'source_only' (train.py --dataset gtav).  If None, inferred from cfg.
+    n_devices: mesh size the step will run under (for batch-pad rounding)."""
     if method is None:
         method = "source_only" if cfg.dataset == "gtav" else "feature_adapt"
+    pad_to = _step_pad_to(cfg, n_devices)
     policy = Policy.from_name(cfg.precision)
     dtype = policy.compute_dtype
     seg_loss_fn = build_seg_loss(cfg.loss_type, class_weights)
@@ -74,7 +90,8 @@ def build_method(cfg: Config, iters_per_epoch: int,
                     nesterov=cfg.nesterov)
         d_opt = Adam(b1=0.9, b2=0.99)
         step_fn = make_output_adapt_step(deeplab, discr, g_opt, d_opt, lr_fn,
-                                         seg_loss_fn, cfg.adv_softmax_axis)
+                                         seg_loss_fn, cfg.adv_softmax_axis,
+                                         pad_to=pad_to)
 
         def init_state(rng):
             rng, kg, kd, ks = jax.random.split(rng, 4)
@@ -98,7 +115,8 @@ def build_method(cfg: Config, iters_per_epoch: int,
                          cfg.nesterov)
     step_fn = make_feature_adapt_step(deeplab, domain, opt, opt, opt, lr_fn,
                                       seg_loss_fn,
-                                      source_only=(method == "source_only"))
+                                      source_only=(method == "source_only"),
+                                      pad_to=pad_to)
 
     def init_state(rng):
         rng, kg, kd, ks = jax.random.split(rng, 4)

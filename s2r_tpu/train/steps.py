@@ -22,6 +22,7 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
+from s2r_tpu.models.layers import bn_real_batch
 from s2r_tpu.train.losses import bce_with_logits, domain_loss
 from s2r_tpu.train.optim import FusedOptimizer, lr_mult_tree
 from s2r_tpu.train.state import TrainState
@@ -47,7 +48,8 @@ def _adv_softmax(logits: jnp.ndarray, mode: str) -> jnp.ndarray:
 
 def make_output_adapt_step(deeplab, discriminator, g_opt, d_opt,
                            lr_fn: Callable, seg_loss_fn: Callable,
-                           adv_softmax_mode: str = "batch"):
+                           adv_softmax_mode: str = "batch",
+                           pad_to: int = None):
     """G/D alternating update as a single step.
 
     G: seg CE on source + BCE(D(softmax(tgt)), source_label) with D frozen
@@ -60,6 +62,8 @@ def make_output_adapt_step(deeplab, discriminator, g_opt, d_opt,
     """
     fused: Dict[str, FusedOptimizer] = {}  # built lazily from tree structure
 
+    sg = jax.lax.stop_gradient
+
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if not fused:
             fused["G"] = FusedOptimizer(
@@ -70,39 +74,78 @@ def make_output_adapt_step(deeplab, discriminator, g_opt, d_opt,
         lr = lr_fn(state.step)
         rng, r_src, r_tgt = jax.random.split(state.rng, 3)
 
-        def g_loss(params_g, bstats, params_d):
-            v = {"params": params_g, "batch_stats": bstats}
-            (src_logits, _), upd = deeplab.apply(
-                v, batch["src_image"], True, mutable=["batch_stats"],
-                rngs={"dropout": r_src})
-            l_seg = seg_loss_fn(src_logits, batch["src_label"])
-            v2 = {"params": params_g, "batch_stats": upd["batch_stats"]}
-            (tgt_logits, _), upd2 = deeplab.apply(
-                v2, batch["tgt_image"], True, mutable=["batch_stats"],
-                rngs={"dropout": r_tgt})
-            d_out = discriminator.apply(
-                {"params": params_d},
-                _adv_softmax(tgt_logits, adv_softmax_mode))
-            l_adv = bce_with_logits(d_out, SOURCE_LABEL)
-            aux = (upd2["batch_stats"], src_logits, tgt_logits, l_seg, l_adv)
-            return l_seg + l_adv, aux
+        # One joint loss over (G, D) with stop_gradient partitioning instead
+        # of two separate value_and_grad calls: 'train G with D frozen' is
+        # sg(params_d) on the adversarial term; 'train D on detached
+        # outputs' is sg on the softmax inputs.  Gradients are identical to
+        # the two-backward formulation (cross terms vanish under sg), but
+        # the tgt discriminator *forward* — value-identical in both terms —
+        # is computed once and shared by XLA instead of twice.
+        # Batch padding: XLA's TPU layouts put N in the 8-wide sublane dim,
+        # so a batch that is not a multiple of 8 costs up to 2.6x throughput
+        # (CLAUDE.md measurements).  With pad_to = N > k input samples, the
+        # step zero-pads the images up to N and masks the k..N-1 dummies out
+        # of every cross-sample quantity: BN statistics (bn_real_batch),
+        # the CE loss (ignore_index labels), the batch-axis adversarial
+        # softmax (the reference's dim=0 quirk runs over real rows only),
+        # and the discriminator means (outputs sliced before reduction).
+        n_in = batch["src_image"].shape[0]
+        k = n_in if (pad_to is not None and pad_to > n_in) else None
+        n_total = pad_to if k is not None else n_in
 
-        (_, aux), grads_g = jax.value_and_grad(g_loss, has_aux=True)(
-            state.params["G"], state.batch_stats, state.params["D"])
-        new_bstats, src_logits, tgt_logits, l_seg, l_adv = aux
+        def _bpad(x, fill=0):
+            pad = [(0, n_total - n_in)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad, constant_values=fill)
 
-        def d_loss(params_d):
-            sp = _adv_softmax(jax.lax.stop_gradient(src_logits),
-                              adv_softmax_mode)
-            tp = _adv_softmax(jax.lax.stop_gradient(tgt_logits),
-                              adv_softmax_mode)
-            l_src = bce_with_logits(
-                discriminator.apply({"params": params_d}, sp), SOURCE_LABEL)
-            l_tgt = bce_with_logits(
-                discriminator.apply({"params": params_d}, tp), TARGET_LABEL)
-            return l_src + l_tgt
+        def _real(x):
+            return x if k is None else x[:k]
 
-        l_d, grads_d = jax.value_and_grad(d_loss)(state.params["D"])
+        def _repad(x):
+            if k is None:
+                return x
+            pad = [(0, n_total - k)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad)
+
+        src_label = batch["src_label"]
+        src_image, tgt_image = batch["src_image"], batch["tgt_image"]
+        if k is not None:
+            src_image, tgt_image = _bpad(src_image), _bpad(tgt_image)
+            src_label = _bpad(src_label, fill=255)
+
+        def joint_loss(params):
+            params_g, params_d = params["G"], params["D"]
+            with bn_real_batch(k):
+                v = {"params": params_g, "batch_stats": state.batch_stats}
+                (src_logits, _), upd = deeplab.apply(
+                    v, src_image, True, mutable=["batch_stats"],
+                    rngs={"dropout": r_src})
+                v2 = {"params": params_g, "batch_stats": upd["batch_stats"]}
+                (tgt_logits, _), upd2 = deeplab.apply(
+                    v2, tgt_image, True, mutable=["batch_stats"],
+                    rngs={"dropout": r_tgt})
+            l_seg = seg_loss_fn(src_logits, src_label)
+            tp = _repad(_adv_softmax(_real(tgt_logits), adv_softmax_mode))
+            sp = _repad(_adv_softmax(_real(sg(src_logits)),
+                                     adv_softmax_mode))
+            # G adversarial term: D params constant (train_adapt.py:140-155)
+            l_adv = bce_with_logits(
+                _real(discriminator.apply({"params": sg(params_d)}, tp)),
+                SOURCE_LABEL)
+            # D terms: inputs detached (train_adapt.py:157-178)
+            l_dsrc = bce_with_logits(
+                _real(discriminator.apply({"params": params_d}, sp)),
+                SOURCE_LABEL)
+            l_dtgt = bce_with_logits(
+                _real(discriminator.apply({"params": params_d}, sg(tp))),
+                TARGET_LABEL)
+            total = l_seg + l_adv + l_dsrc + l_dtgt
+            return total, (upd2["batch_stats"], l_seg, l_adv,
+                           l_dsrc + l_dtgt)
+
+        (_, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(
+            state.params)
+        new_bstats, l_seg, l_adv, l_d = aux
+        grads_g, grads_d = grads["G"], grads["D"]
 
         params_g, g_state = fused["G"].apply(grads_g, state.opt_state["G"],
                                              state.params["G"], lr)
@@ -128,7 +171,8 @@ def make_output_adapt_step(deeplab, discriminator, g_opt, d_opt,
 
 def make_feature_adapt_step(deeplab, domain_cls, task_opt, d_opt, d_inv_opt,
                             lr_fn: Callable, seg_loss_fn: Callable,
-                            source_only: bool = False):
+                            source_only: bool = False,
+                            pad_to: int = None):
     """Summed-loss adversarial update with three optimizer steps from one
     backward (train.py:181-211).
 
@@ -158,32 +202,57 @@ def make_feature_adapt_step(deeplab, domain_cls, task_opt, d_opt, d_inv_opt,
         src_key = "image" if source_only else "src_image"
         lbl_key = "label" if source_only else "src_label"
 
+        # Batch padding (see make_output_adapt_step): images are zero-padded
+        # to pad_to inside the step; pad samples are masked out of BN stats,
+        # CE (ignore_index label) and the domain means.
+        n_in = batch[src_key].shape[0]
+        k = n_in if (pad_to is not None and pad_to > n_in) else None
+        n_total = pad_to if k is not None else n_in
+
+        def _bpad(x, fill=0):
+            pad = [(0, n_total - n_in)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad, constant_values=fill)
+
+        src_image, src_label = batch[src_key], batch[lbl_key]
+        tgt_image = None if source_only else batch["tgt_image"]
+        if k is not None:
+            src_image = _bpad(src_image)
+            src_label = _bpad(src_label, fill=255)
+            if tgt_image is not None:
+                tgt_image = _bpad(tgt_image)
+
+        def _real(x):
+            return x if k is None else x[:k]
+
         def loss_fn(params):
             bs_g, bs_d = state.batch_stats["G"], state.batch_stats["D"]
-            (src_out, src_feat), updg = deeplab.apply(
-                {"params": params["G"], "batch_stats": bs_g},
-                batch[src_key], True, mutable=["batch_stats"],
-                rngs={"dropout": r1})
-            task = seg_loss_fn(src_out, batch[lbl_key])
+            with bn_real_batch(k):
+                (src_out, src_feat), updg = deeplab.apply(
+                    {"params": params["G"], "batch_stats": bs_g},
+                    src_image, True, mutable=["batch_stats"],
+                    rngs={"dropout": r1})
+            task = seg_loss_fn(src_out, src_label)
             if source_only:
                 new_bs = {"G": updg["batch_stats"], "D": bs_d}
                 zero = jnp.zeros((), jnp.float32)
                 return task, (new_bs, task, zero, zero, zero)
 
-            src_d, updd = domain_cls.apply(
-                {"params": params["D"], "batch_stats": bs_d},
-                src_feat, True, mutable=["batch_stats"],
-                rngs={"dropout": r2})
-            (tgt_out, tgt_feat), updg2 = deeplab.apply(
-                {"params": params["G"], "batch_stats": updg["batch_stats"]},
-                batch["tgt_image"], True, mutable=["batch_stats"],
-                rngs={"dropout": r3})
-            tgt_d, updd2 = domain_cls.apply(
-                {"params": params["D"], "batch_stats": updd["batch_stats"]},
-                tgt_feat, True, mutable=["batch_stats"],
-                rngs={"dropout": r4})
-            d_l, d_acc = domain_loss(src_d, tgt_d)
-            d_inv_l, _ = domain_loss(tgt_d, src_d)
+            with bn_real_batch(k):
+                src_d, updd = domain_cls.apply(
+                    {"params": params["D"], "batch_stats": bs_d},
+                    src_feat, True, mutable=["batch_stats"],
+                    rngs={"dropout": r2})
+                (tgt_out, tgt_feat), updg2 = deeplab.apply(
+                    {"params": params["G"],
+                     "batch_stats": updg["batch_stats"]},
+                    tgt_image, True, mutable=["batch_stats"],
+                    rngs={"dropout": r3})
+                tgt_d, updd2 = domain_cls.apply(
+                    {"params": params["D"], "batch_stats": updd["batch_stats"]},
+                    tgt_feat, True, mutable=["batch_stats"],
+                    rngs={"dropout": r4})
+            d_l, d_acc = domain_loss(_real(src_d), _real(tgt_d))
+            d_inv_l, _ = domain_loss(_real(tgt_d), _real(src_d))
             loss = task + d_l + d_inv_l
             new_bs = {"G": updg2["batch_stats"], "D": updd2["batch_stats"]}
             return loss, (new_bs, task, d_l, d_inv_l, d_acc)

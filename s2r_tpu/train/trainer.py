@@ -93,10 +93,10 @@ class Trainer:
             weights = jnp.asarray(
                 load_or_compute_weights(cfg, self.train_loader, self.nclass))
 
+        n_dev = pick_num_devices(cfg.batch_size, cfg.num_devices)
         self.method: Method = build_method(cfg, len(self.train_loader),
-                                           weights, method)
-        self.mesh = make_mesh(pick_num_devices(cfg.batch_size,
-                                               cfg.num_devices))
+                                           weights, method, n_devices=n_dev)
+        self.mesh = make_mesh(n_dev)
         self.state = replicate(
             self.method.init_state(jax.random.PRNGKey(cfg.seed)), self.mesh)
         self.train_step = jax.jit(self.method.step_fn, donate_argnums=0)

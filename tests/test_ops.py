@@ -36,3 +36,94 @@ def test_resize_differentiable():
     g = jax.grad(lambda v: resize_bilinear_align_corners(v, (16, 16)).sum())(x)
     # Sum-pooling adjoint: total mass preserved.
     assert np.isclose(float(g.sum()), 16 * 16 * 2, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth conv reformulation (ops/s2d.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("hw,cin,cout", [
+    ((16, 24), 19, 64),   # discriminator conv1 shape class
+    ((8, 8), 64, 128),    # discriminator conv2 shape class
+    ((12, 20), 3, 5),
+])
+def test_conv4x4s2_via_s2d_matches_direct(hw, cin, cout):
+    import jax
+    from jax import lax
+
+    from s2r_tpu.ops.s2d import conv4x4s2_via_s2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, *hw, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(4, 4, cin, cout), jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv4x4s2_via_s2d(x, k)
+    # fp reassociation: the s2d form contracts 4C-wide dots vs C-wide
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients (input and kernel) must match the direct conv's
+    def f_ref(x, k):
+        return jnp.sum(lax.conv_general_dilated(
+            x, k, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+
+    def f_s2d(x, k):
+        return jnp.sum(conv4x4s2_via_s2d(x, k) ** 2)
+
+    # grads are O(100) here; tolerate fp reassociation between the 3x3x4C
+    # and 4x4xC contraction orders
+    gx1, gk1 = jax.grad(f_ref, argnums=(0, 1))(x, k)
+    gx2, gk2 = jax.grad(f_s2d, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_conv2d_s2d_flag_matches_plain():
+    """Conv2d(s2d=True) equals the plain conv on the same params, and falls
+    back to the direct conv for odd spatial sizes."""
+    import jax
+
+    from s2r_tpu.models.layers import Conv2d
+
+    rng = np.random.RandomState(1)
+    plain = Conv2d(64, 4, stride=2, padding=1, use_bias=True,
+                   weight_init="torch_default")
+    fast = Conv2d(64, 4, stride=2, padding=1, use_bias=True,
+                  weight_init="torch_default", s2d=True)
+    x = jnp.asarray(rng.randn(2, 64, 96, 19), jnp.float32)
+    v = plain.init({"params": jax.random.PRNGKey(0)}, x)
+    np.testing.assert_allclose(np.asarray(fast.apply(v, x)),
+                               np.asarray(plain.apply(v, x)),
+                               rtol=1e-4, atol=1e-4)
+    # odd size: s2d silently falls back; shapes must agree
+    x_odd = jnp.asarray(rng.randn(2, 63, 95, 19), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fast.apply(v, x_odd)),
+                               np.asarray(plain.apply(v, x_odd)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rng_dropout_recompute_bit_identical():
+    """Dropout's recomputed-mask backward is bit-identical to the saved-mask
+    formulation (models/layers.py::_rng_dropout)."""
+    import jax
+
+    from s2r_tpu.models.layers import _rng_dropout
+
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 16), jnp.float32)
+
+    def saved_mask(x, key, keep):
+        mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+    y1 = _rng_dropout(x, key, 0.5)
+    y2 = saved_mask(x, key, 0.5)
+    assert bool((y1 == y2).all())
+    g1 = jax.grad(lambda x: jnp.sum(_rng_dropout(x, key, 0.5) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(saved_mask(x, key, 0.5) ** 2))(x)
+    assert bool((g1 == g2).all())
