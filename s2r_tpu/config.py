@@ -146,11 +146,12 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     """
     d = Config()
     p = parser
-    # the reference's factory also names resnet/xception/drn but ships no
+    # the reference's factory names resnet/xception/drn but ships no
     # modules for them (backbone/__init__.py:4-9 crash if selected); here
-    # resnet50/101 are actually implemented
+    # every factory choice is actually implemented
     p.add_argument("--backbone", type=str, default=d.backbone,
-                   choices=["mobilenet", "resnet", "resnet101", "resnet50"])
+                   choices=["mobilenet", "resnet", "resnet101", "resnet50",
+                            "xception", "drn"])
     p.add_argument("--out-stride", type=int, default=d.out_stride, dest="out_stride")
     p.add_argument("--dataset", type=str, default=d.dataset,
                    choices=["gtav2cityscapes", "gtav", "synthetic"])

@@ -20,6 +20,14 @@ def build_backbone(backbone: str, output_stride: int, dtype):
 
         depth = "resnet50" if backbone == "resnet50" else "resnet101"
         return ResNet(depth=depth, output_stride=output_stride, dtype=dtype)
+    if backbone == "xception":
+        from s2r_tpu.models.xception import AlignedXception
+
+        return AlignedXception(output_stride=output_stride, dtype=dtype)
+    if backbone == "drn":
+        from s2r_tpu.models.drn import DRN
+
+        return DRN(dtype=dtype)  # output stride 8 by design
     raise NotImplementedError(backbone)
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from s2r_tpu.models.layers import BatchNorm, Conv2d, Dropout, relu
 
-ASPP_INPLANES = {"mobilenet": 320}
+ASPP_INPLANES = {"mobilenet": 320, "resnet": 2048, "xception": 2048, "drn": 512}
 
 
 class ASPPBranch(nn.Module):

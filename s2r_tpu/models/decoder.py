@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from s2r_tpu.models.layers import BatchNorm, Conv2d, Dropout, relu
 from s2r_tpu.ops.resize import resize_bilinear_align_corners
 
-LOW_LEVEL_INPLANES = {"mobilenet": 24}
+LOW_LEVEL_INPLANES = {"mobilenet": 24, "resnet": 256, "xception": 128, "drn": 256}
 
 
 class Decoder(nn.Module):

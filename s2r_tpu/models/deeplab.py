@@ -58,11 +58,23 @@ class DeepLab(nn.Module):
                 else "resnet50"
             backbone = ResNet(depth=depth, output_stride=self.output_stride,
                               dtype=self.dtype, name="backbone")
+        elif self.backbone == "xception":
+            from s2r_tpu.models.xception import AlignedXception
+
+            backbone = AlignedXception(output_stride=self.output_stride,
+                                       dtype=self.dtype, name="backbone")
+        elif self.backbone == "drn":
+            from s2r_tpu.models.drn import DRN
+
+            backbone = DRN(dtype=self.dtype, name="backbone")
         else:
             raise NotImplementedError(self.backbone)
+        # DRN's output stride is 8 by construction (models/drn.py), so the
+        # ASPP dilation set follows suit regardless of the config value.
+        eff_os = 8 if self.backbone == "drn" else self.output_stride
         high, low = backbone(x, bn_train)
         feat = aspp_cls(backbone=self.backbone,
-                        output_stride=self.output_stride,
+                        output_stride=eff_os,
                         dtype=self.dtype, name="aspp")(high, bn_train)
         logits = dec_cls(num_classes=self.num_classes, backbone=self.backbone,
                          dtype=self.dtype, name="decoder")(feat, low, bn_train)

@@ -21,8 +21,14 @@ class DomainClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """x: [N, h, w, 256] -> domain logits [N, h, w, 2]."""
-        if not (self.backbone == "mobilenet" and self.level == "high"):
+        """x: [N, h, w, 256] -> domain logits [N, h, w, 2].
+
+        The reference guards (backbone == mobilenet, level == 'high')
+        because it hardcodes in_channel=256 (domian.py:10-13); here the
+        input is always the 256-channel ASPP output regardless of backbone,
+        so every implemented backbone is accepted.  Non-'high' levels would
+        need a different tap point and stay unimplemented, as upstream."""
+        if self.level != "high":
             raise NotImplementedError((self.backbone, self.level))
         y = Conv2d(1024, 1, dtype=self.dtype, name="adnn1_conv")(x)
         y = BatchNorm(dtype=self.dtype, name="adnn1_bn")(y, not train)

@@ -2,12 +2,18 @@
 
 MobileNetV2 is built on depthwise convs (reference mobilenet.py:40,54).  They
 do no MXU work — each output element is 9 multiply-adds on the VPU — so their
-cost is pure memory traffic, and XLA's generic conv lowering can spend more
-time in layout shuffling than arithmetic.  This kernel streams NHWC tiles
-through VMEM exactly once: for each (batch, row-tile, channel-tile) grid cell
-it reads a haloed input tile (element-indexed overlapping blocks over the
-pre-padded input) and accumulates the 9 taps as shifted VPU multiply-adds in
-f32.
+cost is pure memory traffic.  This kernel streams NHWC row-slabs through VMEM
+exactly once per (batch, row-tile) grid cell.
+
+Lowering strategy (round 2 — replaces the rejected overlapping-Blocked
+spec): the input stays in HBM (`memory_space=ANY`); the kernel DMAs a haloed
+row slab [row0 - d, row0 + th + d) x W x C into a VMEM scratch whose border
+strips (d rows top/bottom at the edge tiles, d columns left/right always)
+are zero-filled — the halo IS the conv's zero padding — then accumulates the
+9 taps as shifted VPU multiply-adds in f32 and writes the (th, W, C) output
+block.  Boundary tiles use statically-sized clipped DMAs selected by
+`pl.when` on the row-tile index, so no padded copy of the input is ever
+materialized in HBM.
 
 Layout: x [N, H, W, C], kernel [3, 3, C] (the HWIO depthwise kernel squeezed
 of its singleton I axis), symmetric padding by `dilation` (= the reference's
@@ -19,14 +25,6 @@ A custom VJP makes it trainable:
   flipped kernel — this same kernel again;
 - dk[dy, dx, c] = sum_nhw x_shifted * g — 9 multiply-reduces left to XLA
   (tiny next to the conv itself and fused with neighbours).
-
-STATUS: numerically verified in interpret mode (tests/test_pallas_depthwise
-.py).  The Mosaic TPU lowering currently rejects this block spec (mixing
-Element-indexed and Blocked dims; (8,128)-divisibility of trailing block
-dims), so the kernel is not yet wired into the model — and the measured
-payoff is bounded: the whole conv category is ~9% of step time in the
-512x1024 profile, with XLA's depthwise lowering already adequate.  Revisit
-with an all-Element block spec if depthwise ever dominates a profile.
 """
 
 from __future__ import annotations
@@ -35,61 +33,102 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 6 * 1024 * 1024  # input-tile budget (bytes)
+_VMEM_BUDGET = 3 * 1024 * 1024  # nominal scratch budget (bytes)
 
 
-def _pick_tiles(h: int, w: int, c: int, d: int, itemsize: int):
-    """(row tile, channel tile): channel tile divides C; row tile divides H;
-    input tile (th + 2d, w + 2d, ct) fits the VMEM budget."""
-    for ct in sorted({k for k in range(1, c + 1) if c % k == 0},
-                     reverse=True):
-        if ct > 512:
+def _pick_row_tile(h: int, w: int, c: int, d: int, itemsize: int) -> int:
+    """Largest row tile <= 32 dividing H whose haloed slab fits the budget."""
+    for th in (32, 16, 8, 4, 2, 1):
+        if h % th:
             continue
-        for th in (32, 16, 8, 4, 2, 1):
-            if h % th:
-                continue
-            if (th + 2 * d) * (w + 2 * d) * ct * itemsize <= _VMEM_BUDGET:
-                return th, ct
-    return 1, min(c, 128)
+        if (th + 2 * d) * (w + 2 * d) * c * itemsize <= _VMEM_BUDGET:
+            return th
+    return 1
 
 
-def _dw_kernel(x_ref, k_ref, o_ref, *, d: int, th: int):
+def _dw_kernel(x_hbm, k_ref, o_ref, scratch, sem, *, d: int, th: int,
+               nj: int, h: int):
+    # Mosaic constraint: DMA destinations may not be sliced at unaligned
+    # offsets in the tiled (sublane) W dim, so scratch holds UNPADDED rows
+    # [th + 2d, W, C] — whole-W DMAs land at column offset 0 (aligned), the
+    # row dim (untiled dim 0) takes the halo, and the W-direction taps are
+    # realized as in-register shifts with zero fill below.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     w = o_ref.shape[2]
-    acc = jnp.zeros(o_ref.shape, jnp.float32)
+
+    # zero the row halo strips (the conv's zero padding at image top/
+    # bottom); interior DMAs overwrite them.
+    scratch[0:d] = jnp.zeros_like(scratch[0:d])
+    scratch[th + d:th + 2 * d] = jnp.zeros_like(scratch[th + d:th + 2 * d])
+
+    def copy(src_rows0, nrows, dst_row0):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(src_rows0, nrows), :, :],
+            scratch.at[pl.ds(dst_row0, nrows), :, :],
+            sem)
+        dma.start()
+        dma.wait()
+
+    if nj == 1:
+        copy(0, th, d)
+    else:
+        @pl.when(j == 0)
+        def _first():
+            copy(0, th + d, d)
+
+        @pl.when(j == nj - 1)
+        def _last():
+            copy(h - th - d, th + d, 0)
+
+        @pl.when((j > 0) & (j < nj - 1))
+        def _interior():
+            copy(j * th - d, th + 2 * d, 0)
+
+    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
     for dy in range(3):
+        base = scratch[dy * d:dy * d + th, :, :].astype(jnp.float32)
         for dx in range(3):
-            tap = x_ref[:, dy * d:dy * d + th, dx * d:dx * d + w, :]
-            acc += tap.astype(jnp.float32) * k_ref[dy, dx, :].astype(
-                jnp.float32)
-    o_ref[:] = acc.astype(o_ref.dtype)
+            s = (dx - 1) * d  # W shift: -d, 0, +d
+            if s == 0:
+                tap = base
+            elif s > 0:
+                tap = jnp.concatenate(
+                    [base[:, s:, :],
+                     jnp.zeros((th, s, base.shape[2]), jnp.float32)], axis=1)
+            else:
+                tap = jnp.concatenate(
+                    [jnp.zeros((th, -s, base.shape[2]), jnp.float32),
+                     base[:, :w + s, :]], axis=1)
+            acc += tap * k_ref[dy, dx, :].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _dw_forward(x, kernel, dilation, interpret=False):
     n, h, w, c = x.shape
     d = dilation
-    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
-    th, ct = _pick_tiles(h, w, c, d, xp.dtype.itemsize)
-    grid = (n, h // th, c // ct)
+    th = _pick_row_tile(h, w, c, d, x.dtype.itemsize)
+    nj = h // th
+    grid = (n, nj)
     return pl.pallas_call(
-        functools.partial(_dw_kernel, d=d, th=th),
+        functools.partial(_dw_kernel, d=d, th=th, nj=nj, h=h),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, pl.Element(th + 2 * d), pl.Element(w + 2 * d), ct),
-                lambda i, j, k: (i, j * th, 0, k),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, ct), lambda i, j, k: (0, 0, k),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3, c), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, w, ct), lambda i, j, k: (i, j, 0, k),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * d, w, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(xp, kernel)
+    )(x, kernel)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -65,3 +65,20 @@ def test_bf16():
     ref = _lax_dw(x.astype(jnp.float32), k.astype(jnp.float32), 1)
     np.testing.assert_allclose(np.asarray(ours, dtype=np.float32),
                                np.asarray(ref), rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("shape,dilation", [
+    ((1, 9, 11, 4), 1),     # odd H (513-crop shape class): row tile 1/3
+    ((2, 12, 20, 5), 1),    # multi-tile rows with boundary tiles
+    ((1, 8, 8, 16), 2),     # single row tile (nj small) at dilation 2
+])
+def test_dma_halo_edges(shape, dilation):
+    """The DMA-halo lowering's boundary tiles (clipped first/last-row DMAs
+    + zeroed strips) must reproduce the conv's zero padding exactly."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, shape[-1]), jnp.float32)
+    ours = depthwise_conv3x3(x, k, dilation, True)
+    ref = _lax_dw(x, k, dilation)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
