@@ -20,6 +20,26 @@ of its singleton I axis), symmetric padding by `dilation` (= the reference's
 fixed_padding, mobilenet.py:17-23).  Stride-2 blocks fall back to lax
 (4 of 17 MobileNet blocks).
 
+STATUS (round 2, measured on v5e — fixes round 1's "does not lower"):
+- The DMA-halo lowering COMPILES AND RUNS on the real chip for inputs whose
+  channel count is a multiple of 128 and width a multiple of 8 (Mosaic
+  requires HBM memref_slice extents aligned to the (8, 128) tiling; C is
+  sliced at full extent but must still be lane-aligned, e.g. 960 is
+  rejected with "Slice shape along dimension 3 must be aligned to 128").
+- Numerics: bit-identical to XLA's conv at `precision=HIGHEST`, exact to a
+  float64 reference within f32 ulp (1.7e-6).  XLA's DEFAULT f32 depthwise
+  conv on TPU uses reduced (bf16-pass) MXU precision — 4.4e-2 max error on
+  the same inputs — so on-chip comparisons must pin HIGHEST.
+- Perf: donated-scan timing with the ~600us/iteration loop-overhead floor
+  subtracted puts XLA's own depthwise at ~20-30% of the HBM roofline and
+  this kernel in the same band (single-buffered DMA; no pipelining).
+  Summed over the train step, depthwise layers carry ~0.8 GB of the
+  ~103 GB step traffic, so even a speed-of-light kernel recovers ~2% —
+  which is why the model keeps XLA's lowering and this kernel stays an
+  unwired, tested component.  MobileNet's expanded widths (96, 144, 192,
+  576, 960) fail the 128-alignment constraint anyway; only the 384-wide
+  blocks qualify.
+
 A custom VJP makes it trainable:
 - dx = stride-1 depthwise correlation of the cotangent with the spatially
   flipped kernel — this same kernel again;

@@ -82,3 +82,21 @@ def test_dma_halo_edges(shape, dilation):
     ref = _lax_dw(x, k, dilation)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="needs a real TPU (Mosaic lowering)")
+def test_lowers_and_matches_highest_precision_on_tpu():
+    """Non-interpret lowering on the real chip (128-aligned channels):
+    bit-identical to lax conv at precision=HIGHEST (XLA's DEFAULT f32 conv
+    is reduced-precision on TPU — see module docstring)."""
+    rng = np.random.RandomState(0)
+    c, d = 128, 1
+    x = jnp.asarray(rng.randn(1, 16, 16, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, c), jnp.float32)
+    got = jax.jit(lambda x, k: depthwise_conv3x3(x, k, d))(x, k)
+    hi = jax.jit(lambda x, k: lax.conv_general_dilated(
+        x, k[:, :, None, :].reshape(3, 3, 1, c), (1, 1), ((d, d), (d, d)),
+        rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, precision=lax.Precision.HIGHEST))(x, k)
+    assert float(jnp.abs(got - hi).max()) == 0.0
