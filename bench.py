@@ -27,9 +27,16 @@ H, W = 512, 1024
 
 
 def _bench_infer(args):
-    """BASELINE config 1: DeepLab batch-1 inference @513x513."""
+    """BASELINE config 1: DeepLab batch-1 inference @513x513.
+
+    Timing methodology: N forwards inside ONE jitted lax.scan whose carry
+    feeds an epsilon of each output back into the next input (a true data
+    dependency XLA cannot elide), then a host readback.  Independent
+    repeated dispatches measure dispatch pipelining, not device time, on
+    the axon tunnel (see CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from s2r_tpu.core.precision import Policy
     from s2r_tpu.models import DeepLab
@@ -40,14 +47,21 @@ def _bench_infer(args):
                     jnp.float32)
     v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x,
                                    False))()
-    fwd = jax.jit(lambda v, x: model.apply(v, x, False)[0])
-    y = fwd(v, x)
-    y.block_until_ready()
     iters = 10 if args.quick else 50
+
+    def chain(v, x):
+        def body(xc, _):
+            y = model.apply(v, xc, False)[0]
+            xc = xc + jnp.float32(1e-30) * y[..., :3].astype(jnp.float32)
+            return xc, ()
+        return lax.scan(body, x, None, length=iters)[0]
+
+    run = jax.jit(chain, donate_argnums=1)
+    x = run(v, x)
+    _ = np.asarray(x[0, 0, 0, :])  # compile + settle
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fwd(v, x)
-    y.block_until_ready()
+    x = run(v, x)
+    _ = np.asarray(x[0, 0, 0, :])
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": "513x513 batch-1 inference images/sec/chip",
