@@ -63,24 +63,12 @@ def build(batch=8):
 
 
 def main():
-    names = set(sys.argv[1:]) or {"full8", "full16", "noD", "segonly"}
+    names = set(sys.argv[1:]) or {"full8", "full16", "segonly"}
     m, state = build(8)
     batch = make_batch(8)
 
     if "full8" in names:
         time_step("full step b8", m.step_fn, state, batch)
-
-    if "noD" in names:
-        # G update only: seg + adv forward, no D optimizer / d_loss
-        from s2r_tpu.train import steps as S
-
-        def g_only(state, batch):
-            ns, met = m.step_fn(state, batch)
-            return ns, met
-        # build a variant: reuse make_output_adapt_step internals by
-        # monkeypatching d_loss out is invasive; instead time a seg-only
-        # deeplab fwd+bwd+sgd as the floor below.
-        pass
 
     if "segonly" in names:
         import jax.numpy as jnp
@@ -106,7 +94,7 @@ def main():
 
     if "two_fwd" in names:
         deeplab = m.deeplab
-        from s2r_tpu.train.losses import bce_with_logits, cross_entropy
+        from s2r_tpu.train.losses import cross_entropy
 
         def two_fwd_step(state, b):
             def loss(pg, bs):
