@@ -69,6 +69,50 @@ def _bench_infer(args):
         "vs_baseline": None}))
 
 
+def _bench_eval_fullres(args):
+    """BASELINE config 5: full-res 2048x1024 eval step (forward + argmax +
+    on-device confusion matrix), batch 1 — the val/val_adapt sweep's inner
+    loop.  Same single-dispatch scan methodology as _bench_infer."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from s2r_tpu.config import Config
+    from s2r_tpu.train.setup import build_method
+
+    cfg = Config(crop_size=512, base_size=512, batch_size=2, epochs=1,
+                 precision=args.precision)
+    m = build_method(cfg, iters_per_epoch=10, method="output_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    params, bstats = m.eval_variables(state)
+    h, w = 1024, 2048
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+    label = jnp.asarray(rng.randint(0, 19, (1, h, w)), jnp.int32)
+    iters = 5 if args.quick else 20
+
+    def chain(params, bstats, image, label):
+        def body(carry, _):
+            img = carry
+            loss, cm, _pred = m.eval_step(params, bstats, img, label)
+            img = img + (loss * jnp.float32(1e-30))
+            return img, cm
+        return lax.scan(body, image, None, length=iters)
+
+    run = jax.jit(chain, donate_argnums=2)
+    image, cms = run(params, bstats, image, label)
+    _ = np.asarray(cms[-1])
+    t0 = time.perf_counter()
+    image, cms = run(params, bstats, image, label)
+    _ = np.asarray(cms[-1])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "2048x1024 full-res eval ms/image (fwd + argmax + "
+                  "confusion matrix)",
+        "value": round(dt * 1e3, 2), "unit": "ms/image",
+        "vs_baseline": None}))
+
+
 def _bench_train_source(args):
     """BASELINE config 2: source-only supervised step, batch 4 @513x513."""
     import jax
@@ -262,7 +306,8 @@ def main():
     parser.add_argument("--precision", type=str, default="bf16")
     parser.add_argument("--mode", type=str, default="train_adapt",
                         choices=["train_adapt", "train_source",
-                                 "train_feature", "train_e2e", "infer"],
+                                 "train_feature", "train_e2e", "infer",
+                                 "eval_fullres"],
                         help="train_adapt = BASELINE config 4 (the tracked "
                              "metric); train_source = config 2; "
                              "train_feature = config 3; train_e2e = config "
@@ -271,6 +316,8 @@ def main():
     args = parser.parse_args()
     if args.mode == "infer":
         return _bench_infer(args)
+    if args.mode == "eval_fullres":
+        return _bench_eval_fullres(args)
     if args.mode == "train_source":
         return _bench_train_source(args)
     if args.mode == "train_feature":
