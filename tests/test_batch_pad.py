@@ -176,3 +176,37 @@ def test_masked_bn_grads_exact_f64():
                                        rtol=1e-10, atol=1e-12)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_padded_step_sharded_matches_single_device(monkeypatch):
+    """batch-pad x GSPMD: a pad_to=8 step over a real batch of 4 sharded on
+    a 4-device mesh must match the same padded step on one device (the pad
+    rows land on the last shard; masks are global-index based)."""
+    from s2r_tpu.core.mesh import make_mesh, replicate, shard_batch
+
+    monkeypatch.setattr(setup_mod, "_step_pad_to", lambda cfg, n: 8)
+    cfg = Config(crop_size=CROP, base_size=CROP, batch_size=4, epochs=5,
+                 precision="f32", dataset="synthetic", pad_stats=False)
+    m = build_method(cfg, 10, method="output_adapt")
+    rng = np.random.RandomState(0)
+    batch = {
+        "src_image": jnp.asarray(rng.randn(4, CROP, CROP, 3), jnp.float32),
+        "src_label": jnp.asarray(rng.randint(0, 19, (4, CROP, CROP)),
+                                 jnp.int32),
+        "tgt_image": jnp.asarray(rng.randn(4, CROP, CROP, 3), jnp.float32),
+    }
+    state = m.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(m.step_fn)
+    ref_state, ref_met = step(state, batch)
+
+    mesh = make_mesh(4)
+    sh_state = replicate(state, mesh)
+    sh_batch = shard_batch(batch, mesh)
+    new_state, met = step(sh_state, sh_batch)
+
+    for k in ref_met:
+        np.testing.assert_allclose(float(met[k]), float(ref_met[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    _tree_allclose(ref_state.batch_stats, new_state.batch_stats,
+                   rtol=1e-4, atol=1e-5)
+    _tree_allclose(ref_state.params, new_state.params, atol=2e-3)

@@ -49,7 +49,7 @@ def test_two_process_training_step():
     procs = [_launch(0, port), _launch(1, port)]
     results = {}
     for p in procs:
-        out, err = p.communicate(timeout=540)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"child failed:\n{out}\n{err[-3000:]}"
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
         r = json.loads(line[len("RESULT "):])
