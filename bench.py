@@ -297,6 +297,72 @@ def _bench_train_e2e(args):
         "host_cores": os.cpu_count()}))
 
 
+def _bench_train_e2e_cached(args):
+    """END-TO-END with --device-aug + --data-cache: staged u8 frames are
+    decoded once into the frame cache; steady-state epochs ship cached u8
+    to the device where the fused augmentation + train step run.  Reports
+    the steady-state (cache-warm) rate."""
+    import itertools
+    import os
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from s2r_tpu.config import Config
+    from s2r_tpu.core.mesh import make_mesh, replicate
+    from s2r_tpu.data import device_aug as DA
+    from s2r_tpu.data.datasets import TrainSet
+    from s2r_tpu.data.loader import DataLoader
+    from s2r_tpu.parallel.feed import prefetch_to_device
+    from s2r_tpu.train.setup import build_method
+
+    dirs = _ensure_e2e_dataset(os.environ.get("S2R_E2E_DATA",
+                                              "/tmp/s2r_e2e_data"))
+    batch = args.batch_size or 8
+    ds = TrainSet(dirs["src"], dirs["lbl"], dirs["tgt"], H, H,
+                  staged=True, cache=True)
+    loader = DataLoader(ds, batch_size=batch, shuffle=True,
+                        num_workers=max(os.cpu_count() or 1, 1) * 2)
+
+    cfg = Config(crop_size=H, base_size=H, batch_size=batch,
+                 precision=args.precision, dataset="synthetic",
+                 device_aug=True, epochs=200)
+    method = build_method(cfg, iters_per_epoch=1000, method="output_adapt")
+    mesh = make_mesh(1)
+    state = replicate(method.init_state(jax.random.PRNGKey(0)), mesh)
+    step = jax.jit(method.step_fn, donate_argnums=0)
+    aug_key = jax.random.PRNGKey(0)
+
+    def batches():
+        for ep in itertools.count():
+            loader.epoch = ep
+            for i, b in enumerate(prefetch_to_device(loader, mesh)):
+                arrays = {k: v for k, v in b.items()
+                          if not isinstance(v, list)}
+                key = jax.random.fold_in(jax.random.fold_in(aug_key, ep), i)
+                yield DA.augment_paired_batch(arrays, key, H, (H, W))
+
+    it = batches()
+    warm = len(loader) + 2  # one full epoch fills the cache, + compile
+    for _ in range(warm):
+        state, _m = step(state, next(it))
+    jax.block_until_ready(state.params)
+    iters = 5 if args.quick else 15
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _m = step(state, next(it))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    e2e = batch * iters / dt
+    print(json.dumps({
+        "metric": "1024x512 END-TO-END train images/sec/chip (cached "
+                  "staged frames -> device aug -> output-adapt step)",
+        "value": round(e2e, 2), "unit": "images/sec/chip",
+        "vs_baseline": round(e2e / REFERENCE_IMG_PER_SEC_ESTIMATE, 2),
+        "cache_gb": round(ds.cache.nbytes() / 1e9, 2),
+        "host_cores": os.cpu_count()}))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -306,7 +372,8 @@ def main():
     parser.add_argument("--precision", type=str, default="bf16")
     parser.add_argument("--mode", type=str, default="train_adapt",
                         choices=["train_adapt", "train_source",
-                                 "train_feature", "train_e2e", "infer",
+                                 "train_feature", "train_e2e",
+                                 "train_e2e_cached", "infer",
                                  "eval_fullres"],
                         help="train_adapt = BASELINE config 4 (the tracked "
                              "metric); train_source = config 2; "
@@ -322,6 +389,8 @@ def main():
         return _bench_train_source(args)
     if args.mode == "train_feature":
         return _bench_train_feature(args)
+    if args.mode == "train_e2e_cached":
+        return _bench_train_e2e_cached(args)
     if args.mode == "train_e2e":
         return _bench_train_e2e(args)
 

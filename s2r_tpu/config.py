@@ -71,6 +71,11 @@ class Config:
     # statistics and every loss — exact small-batch semantics at
     # padded-batch speed.  'auto' pads on TPU backends only.
     batch_pad: str = "auto"  # 'auto' | 'off'
+    # Memoize decoded u8 frames on the staged (--device-aug) train path —
+    # epoch >= 2 skips host PNG decode entirely (tf.data .cache() idea).
+    # Only sensible when the decoded dataset fits RAM (Cityscapes ~19 GB;
+    # full GTA5 ~145 GB does not).
+    data_cache: bool = False
     precision: str = "bf16"  # 'bf16' compute / f32 params, or 'f32'
     # Reproduce the reference's fixed_padding BN-statistics quirk exactly
     # (expand-BN train stats include the padded zero ring — see
@@ -199,6 +204,10 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                    dest="batch_pad", choices=["auto", "off"],
                    help="pad per-chip batch to a multiple of 8 inside the "
                         "step (masked — exact semantics); 'auto' = TPU only")
+    p.add_argument("--data-cache", action="store_true", dest="data_cache",
+                   default=d.data_cache,
+                   help="memoize decoded frames on the --device-aug train "
+                        "path (needs RAM for the decoded dataset)")
     p.add_argument("--precision", type=str, default=d.precision,
                    choices=["bf16", "f32"])
     p.add_argument("--remat", action="store_true", dest="remat",

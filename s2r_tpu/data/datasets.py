@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import random
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -59,6 +60,34 @@ def _load_rgb(path: str) -> Image.Image:
     return Image.open(path).convert("RGB")
 
 
+class _FrameCache:
+    """Decoded-frame memoization for the staged (device-aug) train path —
+    the tf.data `.cache()` idea.  PNG inflate dominates the host pipeline
+    (~6 MB/frame at GTA5 sizes); with the random scale-crop running on
+    device, epoch >= 2 needs no host decode at all for datasets that fit
+    RAM (Cityscapes ~19 GB; GTA5's 24966 frames at ~145 GB do NOT — gate
+    behind Config.data_cache, default off).  Thread-safe for the
+    thread-pool DataLoader; arrays are stored u8 exactly as decoded."""
+
+    def __init__(self):
+        self._d: Dict[str, np.ndarray] = {}
+        self._lock = threading.Lock()
+
+    def get(self, path: str, load) -> np.ndarray:
+        with self._lock:
+            hit = self._d.get(path)
+        if hit is not None:
+            return hit
+        arr = np.asarray(load(path), np.uint8)
+        with self._lock:
+            self._d[path] = arr
+        return arr
+
+    def nbytes(self) -> int:
+        with self._lock:
+            return sum(a.nbytes for a in self._d.values())
+
+
 def _load_label(path: str) -> Image.Image:
     arr = np.asarray(Image.open(path), dtype=np.uint8)
     return Image.fromarray(encode_segmap(arr))
@@ -76,7 +105,7 @@ class TrainSet:
 
     def __init__(self, src_img_root: str, src_label_root: str,
                  tgt_img_root: str, base_size: int, crop_size: int,
-                 staged: bool = False):
+                 staged: bool = False, cache: bool = False):
         self.src_label_root = src_label_root
         self.sources = recursive_glob(src_img_root, ".png")
         self.targets = recursive_glob(tgt_img_root, ".png")
@@ -85,6 +114,7 @@ class TrainSet:
         if not self.targets:
             raise FileNotFoundError(f"no target images in {tgt_img_root}")
         self.staged = staged
+        self.cache = _FrameCache() if (cache and staged) else None
         self.transform = T.train_transforms(base_size, crop_size)
 
     def __len__(self):
@@ -98,6 +128,12 @@ class TrainSet:
                                   os.path.basename(src_path))
         tgt_path = self.targets[rng.randint(0, len(self.targets) - 1)]
         if self.staged:
+            if self.cache is not None:
+                return {
+                    "src_image": self.cache.get(src_path, _load_rgb),
+                    "tgt_image": self.cache.get(tgt_path, _load_rgb),
+                    "src_label": self.cache.get(label_path, _load_label),
+                }
             return {
                 "src_image": np.asarray(_load_rgb(src_path), np.uint8),
                 "tgt_image": np.asarray(_load_rgb(tgt_path), np.uint8),
@@ -176,10 +212,12 @@ class GTA5:
 
     def __init__(self, src_img_root: str, src_label_root: str,
                  base_size: int, crop_size: int, split: str = "train",
-                 shuffle_seed: int = 720, staged: bool = False):
+                 shuffle_seed: int = 720, staged: bool = False,
+                 cache: bool = False):
         self.src_label_root = src_label_root
         self.split = split
         self.staged = staged and split == "train"
+        self.cache = _FrameCache() if (cache and self.staged) else None
         files = recursive_glob(src_img_root, ".png")
         if not files:
             raise FileNotFoundError(f"no source images in {src_img_root}")
@@ -205,6 +243,10 @@ class GTA5:
         label_path = os.path.join(self.src_label_root,
                                   os.path.basename(src_path))
         if self.staged:
+            if self.cache is not None:
+                return {"image": self.cache.get(src_path, _load_rgb),
+                        "label": self.cache.get(label_path, _load_label),
+                        "name": os.path.basename(src_path)}
             return {"image": np.asarray(_load_rgb(src_path), np.uint8),
                     "label": np.asarray(_load_label(label_path), np.uint8),
                     "name": os.path.basename(src_path)}

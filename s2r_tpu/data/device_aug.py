@@ -30,13 +30,21 @@ import jax.numpy as jnp
 from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
-def _sample_params(rng, base_size: int, crop_size: int, sh: int, sw: int):
+def _crop_hw(crop_size) -> tuple:
+    """crop_size int (square, reference semantics) or (h, w)."""
+    if isinstance(crop_size, (tuple, list)):
+        return int(crop_size[0]), int(crop_size[1])
+    return int(crop_size), int(crop_size)
+
+
+def _sample_params(rng, base_size: int, crop_size, sh: int, sw: int):
     """Random flip/scale/crop parameters for one sample (traced scalars).
 
     Mirrors RandomScaleCrop's math (custom_transforms.py:114-143): short
     edge scaled to U{0.5b .. 2b}, pad right/bottom up to crop_size, uniform
     crop corner over the padded extent.
     """
+    ch, cw = _crop_hw(crop_size)
     k_flip, k_scale, k_x, k_y = jax.random.split(rng, 4)
     flip = jax.random.bernoulli(k_flip, 0.5)
     short = jax.random.randint(k_scale, (), base_size // 2,
@@ -45,26 +53,26 @@ def _sample_params(rng, base_size: int, crop_size: int, sh: int, sw: int):
     # scaled dims (oh, ow), keeping aspect (short edge -> `short`)
     oh = jnp.where(shf > swf, jnp.floor(shf * short / swf), short)
     ow = jnp.where(shf > swf, short, jnp.floor(swf * short / shf))
-    # padded extent is at least crop_size; crop corner uniform over slack
-    pad_h = jnp.maximum(crop_size, oh)
-    pad_w = jnp.maximum(crop_size, ow)
+    # padded extent is at least the crop; crop corner uniform over slack
+    pad_h = jnp.maximum(ch, oh)
+    pad_w = jnp.maximum(cw, ow)
     u1 = jax.random.uniform(k_y, ())
     u2 = jax.random.uniform(k_x, ())
-    y1 = jnp.floor(u1 * (pad_h - crop_size + 1.0))
-    x1 = jnp.floor(u2 * (pad_w - crop_size + 1.0))
+    y1 = jnp.floor(u1 * (pad_h - ch + 1.0))
+    x1 = jnp.floor(u2 * (pad_w - cw + 1.0))
     return flip, oh, ow, y1, x1
 
 
-def _warp_one(img: jnp.ndarray, lbl, rng, base_size: int, crop_size: int,
+def _warp_one(img: jnp.ndarray, lbl, rng, base_size: int, crop_size,
               tgt: jnp.ndarray = None):
     """Augment one (image [, target image], label) triple."""
+    ch, cw = _crop_hw(crop_size)
     sh, sw = img.shape[0], img.shape[1]
     flip, oh, ow, y1, x1 = _sample_params(rng, base_size, crop_size, sh, sw)
 
     # output pixel centers in scaled space
-    ii = jnp.arange(crop_size, dtype=jnp.float32)
-    ys = y1 + ii          # scaled-space rows  [crop]
-    xs = x1 + ii          # scaled-space cols  [crop]
+    ys = y1 + jnp.arange(ch, dtype=jnp.float32)   # scaled-space rows
+    xs = x1 + jnp.arange(cw, dtype=jnp.float32)   # scaled-space cols
     inside = (ys[:, None] < oh) & (xs[None, :] < ow)  # pad region mask
 
     # map to source coords (center-aligned affine, like PIL's filters)

@@ -133,7 +133,8 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
     if cfg.dataset == "gtav2cityscapes":
         train_set = D.TrainSet(cfg.src_img_root, cfg.src_label_root,
                                cfg.tgt_img_root, cfg.base_size,
-                               cfg.crop_size, staged=cfg.device_aug)
+                               cfg.crop_size, staged=cfg.device_aug,
+                               cache=cfg.data_cache)
         val_set = D.ValSet(cfg.val_img_root, cfg.val_label_root,
                            cfg.crop_size)
         test_set = D.TestSet(cfg.test_img_root, cfg.test_label_root,
@@ -166,7 +167,7 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
     elif cfg.dataset == "gtav":
         train_set = D.GTA5(cfg.src_img_root, cfg.src_label_root,
                            cfg.base_size, cfg.crop_size, "train",
-                           staged=cfg.device_aug)
+                           staged=cfg.device_aug, cache=cfg.data_cache)
         val_set = D.GTA5(cfg.src_img_root, cfg.src_label_root, cfg.base_size,
                          cfg.crop_size, "val")
         test_set = D.GTA5(cfg.src_img_root, cfg.src_label_root, cfg.base_size,

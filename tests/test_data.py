@@ -206,3 +206,50 @@ def test_palette_roundtrip():
     assert (decode_segmap(ignore) == 0).all()
     seq = decode_seg_map_sequence(np.stack([lbl, lbl]))
     assert seq.shape == (2, 2, 19, 3)
+
+
+def test_staged_frame_cache(tmp_path, monkeypatch):
+    """--data-cache: the staged train path decodes each frame once and
+    serves identical arrays afterwards."""
+    import s2r_tpu.data.datasets as DS
+    from PIL import Image
+
+    src = tmp_path / "src"; lbl = tmp_path / "lbl"; tgt = tmp_path / "tgt"
+    for d in (src, lbl, tgt):
+        d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 48, 3), "uint8")).save(
+            src / f"{i}.png")
+        Image.fromarray(rng.randint(0, 33, (32, 48), "uint8")).save(
+            lbl / f"{i}.png")
+        Image.fromarray(rng.randint(0, 255, (32, 48, 3), "uint8")).save(
+            tgt / f"{i}.png")
+
+    calls = {"n": 0}
+    orig = DS._load_rgb
+
+    def counting(path):
+        calls["n"] += 1
+        return orig(path)
+
+    monkeypatch.setattr(DS, "_load_rgb", counting)
+    ds = DS.TrainSet(str(src), str(lbl), str(tgt), 32, 32, staged=True,
+                     cache=True)
+    import random as _r
+    s1 = ds.__getitem__(0, _r.Random(0))
+    n_first = calls["n"]
+    s2 = ds.__getitem__(0, _r.Random(0))  # same rng -> same target pick
+    assert calls["n"] == n_first, "second access must not re-decode"
+    for k in s1:
+        np.testing.assert_array_equal(s1[k], s2[k])
+    assert ds.cache.nbytes() > 0
+
+    # uncached staged path decodes every time
+    monkeypatch.setattr(DS, "_load_rgb", counting)
+    ds2 = DS.TrainSet(str(src), str(lbl), str(tgt), 32, 32, staged=True,
+                      cache=False)
+    c0 = calls["n"]
+    ds2.__getitem__(0, _r.Random(0))
+    ds2.__getitem__(0, _r.Random(0))
+    assert calls["n"] > c0 + 2
