@@ -1,17 +1,19 @@
 """Fused on-device training augmentation.
 
-The reference runs RandomHorizontalFlip -> RandomScaleCrop -> (Blur) ->
+The reference runs RandomHorizontalFlip -> RandomScaleCrop -> Blur ->
 Normalize in PIL on DataLoader workers (custom_transforms.py, SURVEY §2.3).
-This module moves the geometry + normalization onto the TPU as ONE jitted,
-vmapped program over raw uint8 frames:
+This module moves the geometry + blur + normalization onto the TPU as ONE
+jitted, vmapped program over raw uint8 frames:
 
   host: decode PNG -> fixed "staging" shape (the dataset's native size)
   device, per sample: random flip, random short-edge scale in
   [0.5, 2.0]*base_size, pad (image 0 / label 255) and random crop_size crop
   — all expressed as a single bilinear (image) / nearest (label) warp of the
-  staged frame, followed by ImageNet normalization.  No intermediate resized
-  image is ever materialized; uint8 crosses PCIe instead of f32 (4x less
-  host->device traffic than the PIL path ships).
+  staged frame — then p=0.5 Gaussian blur (radius U(0,1), independent per
+  image of the pair, custom_transforms.py:92-105) and ImageNet
+  normalization.  No intermediate resized image is ever materialized; uint8
+  crosses PCIe instead of f32 (4x less host->device traffic than the PIL
+  path ships).
 
 Parity note: PIL's downscale filter is an area-weighted triangle, not pure
 bilinear sampling, so this path matches the reference's *distribution* of
@@ -35,6 +37,23 @@ def _crop_hw(crop_size) -> tuple:
     if isinstance(crop_size, (tuple, list)):
         return int(crop_size[0]), int(crop_size[1])
     return int(crop_size), int(crop_size)
+
+
+_BLUR_TAPS = 4  # support ±4 px covers 3.5σ at the max radius (σ < 1 + kernel
+#                 ringing margin); PIL's blur support at radius r is ~3.5r
+
+
+def _gaussian_blur(x: jnp.ndarray, sigma) -> jnp.ndarray:
+    """Separable Gaussian with traced sigma (PIL GaussianBlur radius ≈ σ),
+    edge-extended boundaries like PIL's %-extension.  x: [H, W, C] f32."""
+    offs = jnp.arange(-_BLUR_TAPS, _BLUR_TAPS + 1, dtype=jnp.float32)
+    w = jnp.exp(-0.5 * (offs / jnp.maximum(sigma, 1e-4)) ** 2)
+    w = w / w.sum()
+    h, wd = x.shape[0], x.shape[1]
+    xp = jnp.pad(x, ((_BLUR_TAPS, _BLUR_TAPS), (0, 0), (0, 0)), mode="edge")
+    x = sum(w[k] * xp[k:k + h] for k in range(2 * _BLUR_TAPS + 1))
+    xp = jnp.pad(x, ((0, 0), (_BLUR_TAPS, _BLUR_TAPS), (0, 0)), mode="edge")
+    return sum(w[k] * xp[:, k:k + wd] for k in range(2 * _BLUR_TAPS + 1))
 
 
 def _sample_params(rng, base_size: int, crop_size, sh: int, sw: int):
@@ -64,11 +83,16 @@ def _sample_params(rng, base_size: int, crop_size, sh: int, sw: int):
 
 
 def _warp_one(img: jnp.ndarray, lbl, rng, base_size: int, crop_size,
-              tgt: jnp.ndarray = None):
+              tgt: jnp.ndarray = None, blur: bool = True):
     """Augment one (image [, target image], label) triple."""
     ch, cw = _crop_hw(crop_size)
     sh, sw = img.shape[0], img.shape[1]
-    flip, oh, ow, y1, x1 = _sample_params(rng, base_size, crop_size, sh, sw)
+    k_geom, k_gate, k_r1, k_r2 = jax.random.split(rng, 4)
+    flip, oh, ow, y1, x1 = _sample_params(k_geom, base_size, crop_size,
+                                          sh, sw)
+    # one p=0.5 gate for the sample, independent radii per image (reference
+    # custom_transforms.py:97-101)
+    blur_gate = jax.random.bernoulli(k_gate, 0.5)
 
     # output pixel centers in scaled space
     ys = y1 + jnp.arange(ch, dtype=jnp.float32)   # scaled-space rows
@@ -106,28 +130,36 @@ def _warp_one(img: jnp.ndarray, lbl, rng, base_size: int, crop_size,
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
-    def finish_image(frame):
-        out = bilinear(frame) / 255.0
-        out = (out - mean) / std
-        return jnp.where(inside[:, :, None], out, 0.0)
+    def finish_image(frame, k_radius):
+        # reference order: pad-fill 0 happens BEFORE blur + normalization
+        # (RandomScaleCrop fill=0 -> RandomGaussianBlur -> Normalize), so
+        # padded pixels end up at (0 - mean)/std, and blur smears the pad
+        # boundary — reproduced exactly.
+        raw = jnp.where(inside[:, :, None], bilinear(frame), 0.0)  # 0..255
+        if blur:
+            radius = jax.random.uniform(k_radius, ())
+            raw = jnp.where(blur_gate, _gaussian_blur(raw, radius), raw)
+        return (raw / 255.0 - mean) / std
 
-    out_img = finish_image(img)
+    out_img = finish_image(img, k_r1)
     out_lbl = jnp.where(inside, nearest_label(lbl).astype(jnp.int32), 255)
     if tgt is None:
         return out_img, out_lbl
-    return out_img, finish_image(tgt), out_lbl
+    return out_img, finish_image(tgt, k_r2), out_lbl
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def augment_paired_batch(batch: Dict[str, jnp.ndarray], rng,
-                         base_size: int, crop_size: int) -> Dict[str, jnp.ndarray]:
+                         base_size: int, crop_size: int,
+                         blur: bool = True) -> Dict[str, jnp.ndarray]:
     """Device-side TrainSet augmentation.
 
     batch: {'src_image' u8 [N,SH,SW,3], 'tgt_image' u8 [N,SH',SW',3],
             'src_label' u8/i32 [N,SH,SW]} -> reference train-transform output
     shapes ({'src_image','tgt_image' f32 [N,c,c,3], 'src_label' i32}).
-    The pair shares flip/scale/crop parameters, like the joint PIL
-    transforms; the target frame is warped with its own source dims.
+    The pair shares flip/scale/crop parameters AND the blur gate (blur radii
+    are independent), like the joint PIL transforms; the target frame is
+    warped with its own source dims.
     """
     n = batch["src_image"].shape[0]
     keys = jax.random.split(rng, n)
@@ -137,7 +169,7 @@ def augment_paired_batch(batch: Dict[str, jnp.ndarray], rng,
         # the same size in its pipeline); we warp each from its own staging
         # shape with the same randomness.
         out_img, out_tgt, out_lbl = _warp_one(img, lbl, key, base_size,
-                                              crop_size, tgt=tgt)
+                                              crop_size, tgt=tgt, blur=blur)
         return out_img, out_tgt, out_lbl
 
     src, tgt, lbl = jax.vmap(one)(batch["src_image"], batch["tgt_image"],
@@ -145,14 +177,15 @@ def augment_paired_batch(batch: Dict[str, jnp.ndarray], rng,
     return {"src_image": src, "tgt_image": tgt, "src_label": lbl}
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def augment_batch(batch: Dict[str, jnp.ndarray], rng, base_size: int,
-                  crop_size: int) -> Dict[str, jnp.ndarray]:
-    """Device-side single-domain (GTA5) train augmentation."""
+                  crop_size: int, blur: bool = True) -> Dict[str, jnp.ndarray]:
+    """Device-side single-domain (GTA5) train augmentation (the gta5.py:71-78
+    composition, blur included)."""
     n = batch["image"].shape[0]
     keys = jax.random.split(rng, n)
     img, lbl = jax.vmap(
-        lambda i, l, k: _warp_one(i, l, k, base_size, crop_size)
+        lambda i, l, k: _warp_one(i, l, k, base_size, crop_size, blur=blur)
     )(batch["image"], batch["label"], keys)
     return {"image": img, "label": lbl}
 
