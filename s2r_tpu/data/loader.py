@@ -125,16 +125,14 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
     from s2r_tpu.core.distributed import process_info
 
     pi, pc = process_info()
-    if pc > 1 and cfg.data_backend == "native":
-        raise NotImplementedError(
-            "--data-backend native does not yet shard input per host")
     kw = dict(num_workers=cfg.workers, seed=seed, process_index=pi,
               process_count=pc)
     if cfg.dataset == "gtav2cityscapes":
         train_set = D.TrainSet(cfg.src_img_root, cfg.src_label_root,
                                cfg.tgt_img_root, cfg.base_size,
                                cfg.crop_size, staged=cfg.device_aug,
-                               cache=cfg.data_cache)
+                               cache=cfg.data_cache,
+                               cache_bytes=int(cfg.data_cache_gb * 1e9))
         val_set = D.ValSet(cfg.val_img_root, cfg.val_label_root,
                            cfg.crop_size)
         test_set = D.TestSet(cfg.test_img_root, cfg.test_label_root,
@@ -150,7 +148,8 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
             train = NativeTrainLoader(train_set.sources, cfg.src_label_root,
                                       train_set.targets, cfg.base_size,
                                       cfg.crop_size, cfg.batch_size,
-                                      seed=seed, threads=cfg.workers)
+                                      seed=seed, threads=cfg.workers,
+                                      process_index=pi, process_count=pc)
             val_imgs = [os.path.join(
                 cfg.val_img_root,
                 os.path.basename(p)[:-len("gtFine_labelIds.png")]
@@ -158,16 +157,19 @@ def make_data_loader(cfg: Config, seed: Optional[int] = None):
             val = NativeEvalLoader(val_imgs, val_set.labels, cfg.crop_size,
                                    cfg.batch_size,
                                    drop_last=cfg.val_drop_last,
-                                   threads=cfg.workers)
+                                   threads=cfg.workers,
+                                   process_index=pi, process_count=pc)
             test = NativeEvalLoader(test_set.images, None, cfg.crop_size,
                                     cfg.batch_size,
                                     drop_last=cfg.val_drop_last,
-                                    threads=cfg.workers)
+                                    threads=cfg.workers,
+                                    process_index=pi, process_count=pc)
             return train, val, test, train_set.NUM_CLASSES
     elif cfg.dataset == "gtav":
         train_set = D.GTA5(cfg.src_img_root, cfg.src_label_root,
                            cfg.base_size, cfg.crop_size, "train",
-                           staged=cfg.device_aug, cache=cfg.data_cache)
+                           staged=cfg.device_aug, cache=cfg.data_cache,
+                           cache_bytes=int(cfg.data_cache_gb * 1e9))
         val_set = D.GTA5(cfg.src_img_root, cfg.src_label_root, cfg.base_size,
                          cfg.crop_size, "val")
         test_set = D.GTA5(cfg.src_img_root, cfg.src_label_root, cfg.base_size,

@@ -24,6 +24,19 @@ from s2r_tpu.data.datasets import _LUT
 from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
+def _shard_batches(batches: List[List[int]], process_index: int,
+                   process_count: int) -> List[List[int]]:
+    """Per-host strided slice of each global index batch — identical
+    semantics to data/loader.py::DataLoader._index_batches: every host
+    builds the same global batches (host-independent RNG) and takes a
+    disjoint stride; ragged batches that can't split evenly are dropped
+    by all hosts alike."""
+    if process_count <= 1:
+        return batches
+    return [b[process_index::process_count] for b in batches
+            if len(b) % process_count == 0]
+
+
 def _lookahead(ranges, load):
     """One-batch lookahead in a worker thread; exceptions re-raise on the
     consuming thread."""
@@ -62,8 +75,15 @@ class NativeTrainLoader:
     def __init__(self, src_imgs: List[str], label_root: str,
                  tgt_imgs: Optional[List[str]], base_size: int, crop_size,
                  batch_size: int, seed: int = 0, threads: int = 8,
-                 blur: bool = True, emit_u8: bool = False):
+                 blur: bool = True, emit_u8: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         assert native.available(), native.build_error()
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
         self.src_imgs = src_imgs
         self.label_root = label_root
         self.tgt_imgs = tgt_imgs
@@ -105,20 +125,31 @@ class NativeTrainLoader:
             out["tgt_image"] = tgt
         return out
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _index_batches(self) -> List[List[int]]:
         order = list(range(len(self.src_imgs)))
         random.Random((self.seed, self.epoch).__hash__()).shuffle(order)
         ranges = [order[i:i + self.batch_size]
                   for i in range(0, len(order), self.batch_size)]
         ranges = [b for b in ranges if len(b) == self.batch_size]
-        yield from _lookahead(ranges, self._load)
+        return _shard_batches(ranges, self.process_index,
+                              self.process_count)
+
+    def __iter__(self) -> Iterator[Dict]:
+        yield from _lookahead(self._index_batches(), self._load)
 
 
 class NativeEvalLoader:
     def __init__(self, img_paths: List[str], lbl_paths: Optional[List[str]],
                  crop_size: int, batch_size: int, drop_last: bool = True,
-                 threads: int = 8):
+                 threads: int = 8, process_index: int = 0,
+                 process_count: int = 1):
         assert native.available(), native.build_error()
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
         self.img_paths = img_paths
         self.lbl_paths = lbl_paths
         self.crop = crop_size
@@ -135,9 +166,10 @@ class NativeEvalLoader:
     def set_epoch(self, epoch: int):
         pass
 
-    def _load(self, lo: int, hi: int) -> Dict:
-        imgs = self.img_paths[lo:hi]
-        lbls = None if self.lbl_paths is None else self.lbl_paths[lo:hi]
+    def _load(self, idx: List[int]) -> Dict:
+        imgs = [self.img_paths[i] for i in idx]
+        lbls = (None if self.lbl_paths is None
+                else [self.lbl_paths[i] for i in idx])
         images, labels = native.eval_batch(imgs, lbls, self.crop, _LUT,
                                            IMAGENET_MEAN, IMAGENET_STD,
                                            self.threads)
@@ -145,10 +177,11 @@ class NativeEvalLoader:
                 "name": [os.path.basename(p) for p in imgs]}
 
     def __iter__(self) -> Iterator[Dict]:
-        ranges = []
-        for lo in range(0, len(self.img_paths), self.batch_size):
-            hi = min(lo + self.batch_size, len(self.img_paths))
-            if self.drop_last and hi - lo < self.batch_size:
-                break
-            ranges.append((lo, hi))
-        yield from _lookahead(ranges, lambda r: self._load(*r))
+        n = len(self.img_paths)
+        ranges = [list(range(lo, min(lo + self.batch_size, n)))
+                  for lo in range(0, n, self.batch_size)]
+        if self.drop_last:
+            ranges = [b for b in ranges if len(b) == self.batch_size]
+        ranges = _shard_batches(ranges, self.process_index,
+                                self.process_count)
+        yield from _lookahead(ranges, self._load)
