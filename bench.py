@@ -298,10 +298,11 @@ def _bench_train_e2e(args):
 
 
 def _bench_train_e2e_cached(args):
-    """END-TO-END with --device-aug + --data-cache: staged u8 frames are
-    decoded once into the frame cache; steady-state epochs ship cached u8
-    to the device where the fused augmentation + train step run.  Reports
-    the steady-state (cache-warm) rate."""
+    """END-TO-END with --data-cache (hostcrop path): frames are decoded
+    once into the frame cache; steady-state epochs box-resample the crop
+    directly from cached frames (no decode, no full-frame resize — see
+    data/hostcrop.py), ship uint8 crops, and finish normalization on
+    device.  Reports the steady-state (cache-warm) rate."""
     import itertools
     import os
 
@@ -310,8 +311,8 @@ def _bench_train_e2e_cached(args):
     jax.config.update("jax_default_prng_impl", "rbg")
     from s2r_tpu.config import Config
     from s2r_tpu.core.mesh import make_mesh, replicate
-    from s2r_tpu.data import device_aug as DA
     from s2r_tpu.data.datasets import TrainSet
+    from s2r_tpu.data.device_aug import normalize_u8_batch
     from s2r_tpu.data.loader import DataLoader
     from s2r_tpu.parallel.feed import prefetch_to_device
     from s2r_tpu.train.setup import build_method
@@ -319,28 +320,25 @@ def _bench_train_e2e_cached(args):
     dirs = _ensure_e2e_dataset(os.environ.get("S2R_E2E_DATA",
                                               "/tmp/s2r_e2e_data"))
     batch = args.batch_size or 8
-    ds = TrainSet(dirs["src"], dirs["lbl"], dirs["tgt"], H, H,
-                  staged=True, cache=True)
+    ds = TrainSet(dirs["src"], dirs["lbl"], dirs["tgt"], H, (H, W),
+                  cache=True)
     loader = DataLoader(ds, batch_size=batch, shuffle=True,
                         num_workers=max(os.cpu_count() or 1, 1) * 2)
 
     cfg = Config(crop_size=H, base_size=H, batch_size=batch,
-                 precision=args.precision, dataset="synthetic",
-                 device_aug=True, epochs=200)
+                 precision=args.precision, dataset="synthetic", epochs=200)
     method = build_method(cfg, iters_per_epoch=1000, method="output_adapt")
     mesh = make_mesh(1)
     state = replicate(method.init_state(jax.random.PRNGKey(0)), mesh)
     step = jax.jit(method.step_fn, donate_argnums=0)
-    aug_key = jax.random.PRNGKey(0)
+    finish = jax.jit(normalize_u8_batch)
 
     def batches():
         for ep in itertools.count():
             loader.epoch = ep
-            for i, b in enumerate(prefetch_to_device(loader, mesh)):
-                arrays = {k: v for k, v in b.items()
-                          if not isinstance(v, list)}
-                key = jax.random.fold_in(jax.random.fold_in(aug_key, ep), i)
-                yield DA.augment_paired_batch(arrays, key, H, (H, W))
+            for b in prefetch_to_device(loader, mesh):
+                yield finish({k: v for k, v in b.items()
+                              if not isinstance(v, list)})
 
     it = batches()
     warm = len(loader) + 2  # one full epoch fills the cache, + compile
@@ -355,8 +353,8 @@ def _bench_train_e2e_cached(args):
     dt = time.perf_counter() - t0
     e2e = batch * iters / dt
     print(json.dumps({
-        "metric": "1024x512 END-TO-END train images/sec/chip (cached "
-                  "staged frames -> device aug -> output-adapt step)",
+        "metric": "1024x512 END-TO-END train images/sec/chip (frame cache "
+                  "-> hostcrop u8 -> output-adapt step)",
         "value": round(e2e, 2), "unit": "images/sec/chip",
         "vs_baseline": round(e2e / REFERENCE_IMG_PER_SEC_ESTIMATE, 2),
         "cache_gb": round(ds.cache.nbytes() / 1e9, 2),

@@ -71,11 +71,14 @@ class Config:
     # statistics and every loss — exact small-batch semantics at
     # padded-batch speed.  'auto' pads on TPU backends only.
     batch_pad: str = "auto"  # 'auto' | 'off'
-    # Memoize decoded u8 frames on the staged (--device-aug) train path —
-    # epoch >= 2 skips host PNG decode entirely (tf.data .cache() idea).
-    # Only sensible when the decoded dataset fits RAM (Cityscapes ~19 GB;
-    # full GTA5 ~145 GB does not).
+    # Memoize decoded u8 frames on the train path (tf.data .cache() idea):
+    # epoch >= 2 skips host PNG decode entirely.  Without --device-aug the
+    # augmentation also runs directly from the cache at crop resolution
+    # (data/hostcrop.py) and ships uint8 crops.  Frames beyond the byte
+    # budget decode per access (graceful degradation — full GTA5 ~145 GB
+    # never fits; Cityscapes ~19 GB does).
     data_cache: bool = False
+    data_cache_gb: float = 32.0
     precision: str = "bf16"  # 'bf16' compute / f32 params, or 'f32'
     # Reproduce the reference's fixed_padding BN-statistics quirk exactly
     # (expand-BN train stats include the padded zero ring — see
@@ -206,8 +209,13 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                         "step (masked — exact semantics); 'auto' = TPU only")
     p.add_argument("--data-cache", action="store_true", dest="data_cache",
                    default=d.data_cache,
-                   help="memoize decoded frames on the --device-aug train "
-                        "path (needs RAM for the decoded dataset)")
+                   help="memoize decoded frames on the train path; without "
+                        "--device-aug, augmentation runs from the cache at "
+                        "crop resolution and ships uint8")
+    p.add_argument("--data-cache-gb", type=float, default=d.data_cache_gb,
+                   dest="data_cache_gb",
+                   help="frame-cache byte budget; over-budget frames decode "
+                        "per access")
     p.add_argument("--precision", type=str, default=d.precision,
                    choices=["bf16", "f32"])
     p.add_argument("--remat", action="store_true", dest="remat",

@@ -61,17 +61,21 @@ def _load_rgb(path: str) -> Image.Image:
 
 
 class _FrameCache:
-    """Decoded-frame memoization for the staged (device-aug) train path —
-    the tf.data `.cache()` idea.  PNG inflate dominates the host pipeline
-    (~6 MB/frame at GTA5 sizes); with the random scale-crop running on
-    device, epoch >= 2 needs no host decode at all for datasets that fit
-    RAM (Cityscapes ~19 GB; GTA5's 24966 frames at ~145 GB do NOT — gate
-    behind Config.data_cache, default off).  Thread-safe for the
-    thread-pool DataLoader; arrays are stored u8 exactly as decoded."""
+    """Decoded-frame memoization for the train paths — the tf.data
+    `.cache()` idea.  PNG inflate dominates the host pipeline (~6 MB/frame
+    at GTA5 sizes); with the scale-crop running on device (--device-aug) or
+    via box-resampling (data/hostcrop.py), epoch >= 2 needs no host decode
+    at all for datasets that fit the byte budget (Cityscapes ~19 GB;
+    GTA5's 24966 frames at ~145 GB do NOT).  Over-budget frames are simply
+    not stored and decode per access — graceful degradation, never OOM.
+    Thread-safe for the thread-pool DataLoader; arrays are stored u8
+    exactly as decoded."""
 
-    def __init__(self):
+    def __init__(self, max_bytes: Optional[int] = None):
         self._d: Dict[str, np.ndarray] = {}
         self._lock = threading.Lock()
+        self._total = 0
+        self.max_bytes = max_bytes
 
     def get(self, path: str, load) -> np.ndarray:
         with self._lock:
@@ -80,12 +84,16 @@ class _FrameCache:
             return hit
         arr = np.asarray(load(path), np.uint8)
         with self._lock:
-            self._d[path] = arr
+            if path not in self._d and (
+                    self.max_bytes is None
+                    or self._total + arr.nbytes <= self.max_bytes):
+                self._d[path] = arr
+                self._total += arr.nbytes
         return arr
 
     def nbytes(self) -> int:
         with self._lock:
-            return sum(a.nbytes for a in self._d.values())
+            return self._total
 
 
 def _load_label(path: str) -> Image.Image:
@@ -105,7 +113,8 @@ class TrainSet:
 
     def __init__(self, src_img_root: str, src_label_root: str,
                  tgt_img_root: str, base_size: int, crop_size: int,
-                 staged: bool = False, cache: bool = False):
+                 staged: bool = False, cache: bool = False,
+                 cache_bytes: Optional[int] = None):
         self.src_label_root = src_label_root
         self.sources = recursive_glob(src_img_root, ".png")
         self.targets = recursive_glob(tgt_img_root, ".png")
@@ -114,7 +123,9 @@ class TrainSet:
         if not self.targets:
             raise FileNotFoundError(f"no target images in {tgt_img_root}")
         self.staged = staged
-        self.cache = _FrameCache() if (cache and staged) else None
+        self.cache = _FrameCache(cache_bytes) if cache else None
+        self.base_size = base_size
+        self.crop_size = crop_size
         self.transform = T.train_transforms(base_size, crop_size)
 
     def __len__(self):
@@ -139,6 +150,16 @@ class TrainSet:
                 "tgt_image": np.asarray(_load_rgb(tgt_path), np.uint8),
                 "src_label": np.asarray(_load_label(label_path), np.uint8),
             }
+        if self.cache is not None:
+            # --data-cache without --device-aug: augment directly from the
+            # cached decoded frames at crop resolution (data/hostcrop.py);
+            # emits uint8, normalization finishes on device.
+            from s2r_tpu.data import hostcrop
+            return hostcrop.augment_sample(
+                {"src_image": self.cache.get(src_path, _load_rgb),
+                 "tgt_image": self.cache.get(tgt_path, _load_rgb),
+                 "src_label": self.cache.get(label_path, _load_label)},
+                rng, self.base_size, self.crop_size)
         sample = {"src_image": _load_rgb(src_path),
                   "tgt_image": _load_rgb(tgt_path),
                   "src_label": _load_label(label_path)}
@@ -213,11 +234,14 @@ class GTA5:
     def __init__(self, src_img_root: str, src_label_root: str,
                  base_size: int, crop_size: int, split: str = "train",
                  shuffle_seed: int = 720, staged: bool = False,
-                 cache: bool = False):
+                 cache: bool = False, cache_bytes: Optional[int] = None):
         self.src_label_root = src_label_root
         self.split = split
         self.staged = staged and split == "train"
-        self.cache = _FrameCache() if (cache and self.staged) else None
+        self.cache = _FrameCache(cache_bytes) \
+            if (cache and split == "train") else None
+        self.base_size = base_size
+        self.crop_size = crop_size
         files = recursive_glob(src_img_root, ".png")
         if not files:
             raise FileNotFoundError(f"no source images in {src_img_root}")
@@ -250,6 +274,14 @@ class GTA5:
             return {"image": np.asarray(_load_rgb(src_path), np.uint8),
                     "label": np.asarray(_load_label(label_path), np.uint8),
                     "name": os.path.basename(src_path)}
+        if self.cache is not None and self.split == "train":
+            from s2r_tpu.data import hostcrop
+            out = hostcrop.augment_sample(
+                {"image": self.cache.get(src_path, _load_rgb),
+                 "label": self.cache.get(label_path, _load_label)},
+                rng, self.base_size, self.crop_size)
+            out["name"] = os.path.basename(src_path)
+            return out
         sample = {"image": _load_rgb(src_path), "label": _load_label(label_path)}
         out = self.transform(sample, rng)
         out["name"] = os.path.basename(src_path)

@@ -51,6 +51,11 @@ def pick_num_devices(batch_size: int, requested: Optional[int]) -> int:
     limit = min(avail, requested or avail)
     for d in range(limit, 0, -1):
         if batch_size % d == 0:
+            if d < limit:
+                print(f"[s2r_tpu] using {d}/{limit} devices: batch_size "
+                      f"{batch_size} is not divisible by {limit} "
+                      f"(consider --batch-pad auto or a divisible batch)",
+                      flush=True)
             return d
     return 1
 
@@ -101,6 +106,7 @@ class Trainer:
             self.method.init_state(jax.random.PRNGKey(cfg.seed)), self.mesh)
         self.train_step = jax.jit(self.method.step_fn, donate_argnums=0)
         self.eval_step = jax.jit(self.method.eval_step)
+        self._finish_u8 = None  # lazy jitted u8->f32 normalize (u8 feeds)
         self.evaluator = Evaluator(self.nclass)
         self.best_pred = 0.0
         self.start_epoch = cfg.start_epoch
@@ -243,6 +249,15 @@ class Trainer:
                 else:
                     arrays = DA.augment_batch(arrays, key, cfg.base_size,
                                               cfg.crop_size)
+            else:
+                img_key = "src_image" if "src_image" in arrays else "image"
+                if arrays[img_key].dtype == jnp.uint8:
+                    # u8-staged feed (hostcrop/native emit_u8 paths):
+                    # normalization finishes on device
+                    from s2r_tpu.data.device_aug import normalize_u8_batch
+                    if self._finish_u8 is None:
+                        self._finish_u8 = jax.jit(normalize_u8_batch)
+                    arrays = self._finish_u8(arrays)
             self.state, metrics = self.train_step(self.state, arrays)
             pending.append(metrics)
             images_seen += cfg.batch_size
