@@ -122,6 +122,122 @@ def main():
         time_step("full step b16", m16.step_fn, state16, make_batch(16),
                   iters=6)
 
+    if "two_grad" in names:
+        # PARITY §Performance A/B arm: the pre-joint formulation — separate
+        # value_and_grad calls for G and D (duplicating the tgt D forward)
+        # instead of one joint loss with stop_gradient partitioning.
+        time_step("two-grad G/D b8", make_two_grad_step(m), state, batch)
+
+    if "maskdrop" in names:
+        # A/B arm: dropout with the forward mask SAVED for backward (the
+        # default autodiff formulation) vs the shipped RNG-recompute vjp.
+        from s2r_tpu.models import layers as L
+        L.DROPOUT_SAVE_MASK = True
+        try:
+            m2, state2 = build(8)
+            time_step("saved-mask dropout b8", m2.step_fn, state2, batch)
+        finally:
+            L.DROPOUT_SAVE_MASK = False
+
+    if "s2d" in names:
+        # A/B arm: space-to-depth conv1+conv2 in the discriminator
+        # (ops/s2d.py) — exact numerics, same param shapes, so the baseline
+        # state is reused directly.
+        from s2r_tpu.models import FCDiscriminator
+        from s2r_tpu.train.lr_schedule import make_lr_schedule
+        from s2r_tpu.train.losses import build_seg_loss
+        from s2r_tpu.train.optim import SGD, Adam
+        from s2r_tpu.train.steps import make_output_adapt_step
+
+        cfg = Config(crop_size=H, base_size=H, batch_size=8, epochs=200,
+                     precision="bf16")
+        discr = FCDiscriminator(num_classes=19, dtype=jnp.bfloat16,
+                                s2d_convs=2)
+        step = make_output_adapt_step(
+            m.deeplab, discr,
+            SGD(momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+                nesterov=cfg.nesterov), Adam(b1=0.9, b2=0.99),
+            make_lr_schedule(cfg.lr_scheduler, cfg.lr, cfg.epochs, 1000),
+            build_seg_loss(cfg.loss_type, None), cfg.adv_softmax_axis)
+        time_step("s2d discriminator b8", step, state, batch)
+
+
+def make_two_grad_step(m):
+    """Output-adapt step with TWO gradient calls (G then D) — the
+    formulation make_output_adapt_step's joint loss replaced; kept here so
+    the round-2 'joint loss: neutral' A/B is reproducible."""
+    from s2r_tpu.train.losses import bce_with_logits, build_seg_loss
+    from s2r_tpu.train.lr_schedule import make_lr_schedule
+    from s2r_tpu.train.optim import (SGD, Adam, FusedOptimizer,
+                                     lr_mult_tree)
+    from s2r_tpu.train.steps import _adv_softmax
+
+    cfg = Config(crop_size=H, base_size=H, batch_size=8, epochs=200,
+                 precision="bf16")
+    deeplab, discr = m.deeplab, m.aux_model
+    seg_loss_fn = build_seg_loss(cfg.loss_type, None)
+    lr_fn = make_lr_schedule(cfg.lr_scheduler, cfg.lr, cfg.epochs, 1000)
+    g_opt = SGD(momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+                nesterov=cfg.nesterov)
+    d_opt = Adam(b1=0.9, b2=0.99)
+    fused = {}
+    sg = jax.lax.stop_gradient
+
+    def step(state, batch):
+        if not fused:
+            fused["G"] = FusedOptimizer(
+                g_opt, state.params["G"],
+                lr_mult_tree(state.params["G"],
+                             {"backbone": 1.0, "aspp": 10.0,
+                              "decoder": 10.0}))
+            fused["D"] = FusedOptimizer(d_opt, state.params["D"])
+        lr = lr_fn(state.step)
+        rng, r_src, r_tgt = jax.random.split(state.rng, 3)
+        mode = cfg.adv_softmax_axis
+
+        def g_loss(params_g):
+            v = {"params": params_g, "batch_stats": state.batch_stats}
+            (src_logits, _), upd = deeplab.apply(
+                v, batch["src_image"], True, mutable=["batch_stats"],
+                rngs={"dropout": r_src})
+            v2 = {"params": params_g, "batch_stats": upd["batch_stats"]}
+            (tgt_logits, _), upd2 = deeplab.apply(
+                v2, batch["tgt_image"], True, mutable=["batch_stats"],
+                rngs={"dropout": r_tgt})
+            l_seg = seg_loss_fn(src_logits, batch["src_label"])
+            l_adv = bce_with_logits(
+                discr.apply({"params": sg(state.params["D"])},
+                            _adv_softmax(tgt_logits, mode)), 0.0)
+            return l_seg + l_adv, (upd2["batch_stats"], src_logits,
+                                   tgt_logits, l_seg, l_adv)
+
+        (_, aux), grads_g = jax.value_and_grad(g_loss, has_aux=True)(
+            state.params["G"])
+        new_bstats, src_logits, tgt_logits, l_seg, l_adv = aux
+
+        def d_loss(params_d):
+            l_dsrc = bce_with_logits(
+                discr.apply({"params": params_d},
+                            _adv_softmax(sg(src_logits), mode)), 0.0)
+            l_dtgt = bce_with_logits(
+                discr.apply({"params": params_d},
+                            _adv_softmax(sg(tgt_logits), mode)), 1.0)
+            return l_dsrc + l_dtgt
+
+        l_d, grads_d = jax.value_and_grad(d_loss)(state.params["D"])
+        params_g, g_state = fused["G"].apply(grads_g, state.opt_state["G"],
+                                             state.params["G"], lr)
+        params_d, d_state = fused["D"].apply(grads_d, state.opt_state["D"],
+                                             state.params["D"], lr)
+        new_state = state.replace(
+            step=state.step + 1, params={"G": params_g, "D": params_d},
+            batch_stats=new_bstats,
+            opt_state={"G": g_state, "D": d_state}, rng=rng)
+        return new_state, {"seg_loss": l_seg, "adv_loss": l_adv,
+                           "d_loss": l_d, "lr": lr}
+
+    return step
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,166 @@
+"""Per-config device profiles (VERDICT r2 item 1).
+
+Captures a jax.profiler XPlane trace of N steps of a tracked config on the
+real TPU and prints an itemized per-category device-time table — the
+methodology behind the PARITY.md §Performance device-profile tables.
+
+Usage:
+    PYTHONPATH=/root/repo:$PYTHONPATH python exp/profile_step.py [config]
+configs: mobilenet_b8 (default) | resnet101_b4 | resnet101_b8 |
+         xception_b8 | drn_b8 | feature_b8 | eval_fullres
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import re
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from s2r_tpu.config import Config
+from s2r_tpu.train.setup import build_method
+
+H, W = 512, 1024
+TRACE_STEPS = 3
+
+
+def make_batch(batch, h=H, w=W):
+    rng = np.random.RandomState(0)
+    return {
+        "src_image": jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32),
+        "src_label": jnp.asarray(rng.randint(0, 19, (batch, h, w)),
+                                 jnp.int32),
+        "tgt_image": jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32),
+    }
+
+
+CONFIGS = {
+    "mobilenet_b8": dict(backbone="mobilenet", batch=8, method="output_adapt"),
+    "resnet101_b4": dict(backbone="resnet101", batch=4, method="output_adapt"),
+    "resnet101_b8": dict(backbone="resnet101", batch=8, method="output_adapt"),
+    "xception_b8": dict(backbone="xception", batch=8, method="output_adapt"),
+    "drn_b8": dict(backbone="drn", batch=8, method="output_adapt"),
+    "feature_b8": dict(backbone="mobilenet", batch=8, method="feature_adapt"),
+    "eval_fullres": dict(backbone="mobilenet", batch=1, method="eval"),
+}
+
+
+def build(name):
+    c = CONFIGS[name]
+    out_stride = 8 if c["backbone"] == "drn" else 16
+    cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
+                 precision="bf16", backbone=c["backbone"],
+                 out_stride=out_stride)
+    if c["method"] == "eval":
+        m = build_method(cfg, 1000, method="output_adapt")
+        state = m.init_state(jax.random.PRNGKey(0))
+        params, bstats = m.eval_variables(state)
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.randn(1, 1024, 2048, 3), jnp.float32)
+        lbl = jnp.asarray(rng.randint(0, 19, (1, 1024, 2048)), jnp.int32)
+        fn = jax.jit(m.eval_step)
+
+        def run_one(carry):
+            loss, cm, _ = fn(params, bstats, img, lbl)
+            jax.block_until_ready(cm)
+            return carry
+        return run_one, None
+    m = build_method(cfg, 1000, method=c["method"])
+    state = m.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(m.step_fn, donate_argnums=0)
+    batch = make_batch(c["batch"])
+
+    def run_one(state):
+        state, _m = step(state, batch)
+        return state
+    return run_one, state
+
+
+def _strip(name: str) -> str:
+    """fusion.123 -> fusion; loop_multiply_fusion.4 -> loop_multiply_fusion"""
+    return re.sub(r"[.-]\d+$", "", name)
+
+
+def parse_xplane(logdir: str):
+    """Aggregate device-op durations by stripped op name from the
+    TensorCore plane of the newest .xplane.pb under logdir."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    assert paths, f"no xplane trace under {logdir}"
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    totals = collections.Counter()
+    total_ns = 0
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "TensorCore" not in plane.name:
+            continue
+        ev_names = plane.event_metadata
+        for line in plane.lines:
+            if line.name not in ("XLA Ops", "XLA TraceMe",
+                                 "Tensorflow Ops", "Steps"):
+                # TPU traces put the op timeline in 'XLA Ops'; fall through
+                # only for unknown single-line planes
+                if len(plane.lines) > 1:
+                    continue
+            if line.name == "Steps":
+                continue
+            for ev in line.events:
+                name = ev_names[ev.metadata_id].name
+                totals[_strip(name)] += ev.duration_ps
+                total_ns += ev.duration_ps
+    return totals, total_ns, paths[-1]
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "mobilenet_b8"
+    run_one, carry = build(name)
+
+    # compile + warm
+    t0 = time.perf_counter()
+    carry = run_one(carry)
+    print(f"compile+1st step: {time.perf_counter() - t0:.0f}s", flush=True)
+    for _ in range(2):
+        carry = run_one(carry)
+    if carry is not None:
+        jax.block_until_ready(jax.tree.leaves(carry)[0])
+
+    # timed + traced
+    logdir = f"/tmp/prof_{name}"
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(logdir)
+    for _ in range(TRACE_STEPS):
+        carry = run_one(carry)
+    if carry is not None:
+        jax.block_until_ready(jax.tree.leaves(carry)[0])
+    jax.profiler.stop_trace()
+    wall_ms = (time.perf_counter() - t0) / TRACE_STEPS * 1e3
+
+    totals, total_ps, path = parse_xplane(logdir)
+    dev_ms = total_ps / 1e9 / TRACE_STEPS
+    print(f"\n== {name}: wall {wall_ms:.1f} ms/step, device ops "
+          f"{dev_ms:.1f} ms/step  ({path})")
+    print(f"{'category':44s} {'ms/step':>9s} {'%':>6s}")
+    for cat, ps in totals.most_common(18):
+        ms = ps / 1e9 / TRACE_STEPS
+        print(f"{cat[:44]:44s} {ms:9.2f} {100 * ps / total_ps:6.1f}")
+    rest = total_ps - sum(ps for _, ps in totals.most_common(18))
+    if rest > 0:
+        print(f"{'(rest)':44s} {rest / 1e9 / TRACE_STEPS:9.2f} "
+              f"{100 * rest / total_ps:6.1f}")
+
+
+if __name__ == "__main__":
+    main()

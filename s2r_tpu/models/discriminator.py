@@ -18,19 +18,22 @@ class FCDiscriminator(nn.Module):
     num_classes: int = 19
     ndf: int = 64
     dtype: jnp.dtype = jnp.float32
+    # First N convs use the space-to-depth formulation (ops/s2d.py; exact
+    # numerics, identical param shapes).  Measured SLOWER in the 512x1024
+    # train step (49.5 vs 55.1 img/s with s2d_convs=2) despite the
+    # 19-channel input's 128-lane padding — the s2d relayout passes cost
+    # more than the padded reads they replace.  Kept as a knob so the A/B
+    # is reproducible (exp/perf_ablate.py 's2d' arm).
+    s2d_convs: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, H, W, num_classes] -> logits [N, H/32, W/32, 1]."""
         widths = (self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8)
         for i, w in enumerate(widths):
-            # NOTE: a space-to-depth formulation of conv1/conv2 (Conv2d
-            # s2d=True; ops/s2d.py) was measured SLOWER in the 512x1024
-            # train step (49.5 vs 55.1 img/s) despite the 19-channel input's
-            # 128-lane padding — the s2d relayout passes cost more than the
-            # padded reads they replace.  Keep the direct convs.
             x = Conv2d(w, 4, stride=2, padding=1, use_bias=True,
                        weight_init="torch_default", dtype=self.dtype,
+                       s2d=(i < self.s2d_convs),
                        name=f"conv{i + 1}")(x)
             x = leaky_relu(x, 0.2)
         x = Conv2d(1, 4, stride=2, padding=1, use_bias=True,

@@ -326,6 +326,12 @@ def _rng_dropout_bwd(keep: float, key, g):
 _rng_dropout.defvjp(_rng_dropout_fwd, _rng_dropout_bwd)
 
 
+# A/B switch (exp/perf_ablate.py 'maskdrop' arm): True = let autodiff save
+# the forward mask (the formulation the recompute path was measured
+# against); False (default) = recompute it in the backward pass.
+DROPOUT_SAVE_MASK = False
+
+
 class Dropout(nn.Module):
     """Element-wise dropout (reference uses nn.Dropout, not Dropout2d).
 
@@ -343,4 +349,7 @@ class Dropout(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
+        if DROPOUT_SAVE_MASK:
+            mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+            return jnp.where(mask, x / keep, jnp.zeros_like(x))
         return _rng_dropout(x, rng, keep)
