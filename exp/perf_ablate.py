@@ -139,6 +139,29 @@ def main():
         finally:
             L.DROPOUT_SAVE_MASK = False
 
+    if "pallas_d1" in names:
+        # VERDICT r2 item 7 arm: discriminator conv1 as the Pallas W-minor
+        # kernel (ops/pallas/disc_conv.py) — consumes the softmax side's
+        # layout, skipping the 19->128 lane-pad relayouts the device
+        # profile itemizes.  Exact conv semantics, same param shapes.
+        from s2r_tpu.models import FCDiscriminator
+        from s2r_tpu.train.lr_schedule import make_lr_schedule
+        from s2r_tpu.train.losses import build_seg_loss
+        from s2r_tpu.train.optim import SGD, Adam
+        from s2r_tpu.train.steps import make_output_adapt_step
+
+        cfg = Config(crop_size=H, base_size=H, batch_size=8, epochs=200,
+                     precision="bf16")
+        discr = FCDiscriminator(num_classes=19, dtype=jnp.bfloat16,
+                                pallas_wminor_conv1=True)
+        step = make_output_adapt_step(
+            m.deeplab, discr,
+            SGD(momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+                nesterov=cfg.nesterov), Adam(b1=0.9, b2=0.99),
+            make_lr_schedule(cfg.lr_scheduler, cfg.lr, cfg.epochs, 1000),
+            build_seg_loss(cfg.loss_type, None), cfg.adv_softmax_axis)
+        time_step("pallas W-minor disc conv1 b8", step, state, batch)
+
     if "s2d" in names:
         # A/B arm: space-to-depth conv1+conv2 in the discriminator
         # (ops/s2d.py) — exact numerics, same param shapes, so the baseline

@@ -87,8 +87,16 @@ def build(name):
 
 
 def _strip(name: str) -> str:
-    """fusion.123 -> fusion; loop_multiply_fusion.4 -> loop_multiply_fusion"""
+    """Bucket an op event name into its HLO opcode-ish category.  Trace
+    event names may be bare ('fusion.123') or the full instruction text
+    ('%fusion.607 = bf16[8,128,256,304]{...} fusion(...)')."""
+    name = name.split(" = ")[0].strip().lstrip("%")
     return re.sub(r"[.-]\d+$", "", name)
+
+
+def _shape_of(name: str) -> str:
+    m = re.search(r"= (\w+\[[\d,]*\])", name)
+    return m.group(1) if m else ""
 
 
 def parse_xplane(logdir: str):
@@ -103,6 +111,7 @@ def parse_xplane(logdir: str):
     with open(paths[-1], "rb") as f:
         xs.ParseFromString(f.read())
     totals = collections.Counter()
+    per_op = collections.Counter()
     total_ns = 0
     for plane in xs.planes:
         if "TPU" not in plane.name and "TensorCore" not in plane.name:
@@ -120,12 +129,36 @@ def parse_xplane(logdir: str):
             for ev in line.events:
                 name = ev_names[ev.metadata_id].name
                 totals[_strip(name)] += ev.duration_ps
+                per_op[name.split(" = ")[0].strip() + " "
+                       + _shape_of(name)] += ev.duration_ps
                 total_ns += ev.duration_ps
-    return totals, total_ns, paths[-1]
+    return totals, per_op, total_ns, paths[-1]
+
+
+def report(name, wall_ms, logdir):
+    totals, per_op, total_ps, path = parse_xplane(logdir)
+    dev_ms = total_ps / 1e9 / TRACE_STEPS
+    print(f"\n== {name}: wall {wall_ms:.1f} ms/step (trace-inflated on the "
+          f"tunnel), device ops {dev_ms:.1f} ms/step  ({path})")
+    print(f"{'category':44s} {'ms/step':>9s} {'%':>6s}")
+    for cat, ps in totals.most_common(14):
+        ms = ps / 1e9 / TRACE_STEPS
+        print(f"{cat[:44]:44s} {ms:9.2f} {100 * ps / total_ps:6.1f}")
+    rest = total_ps - sum(ps for _, ps in totals.most_common(14))
+    if rest > 0:
+        print(f"{'(rest)':44s} {rest / 1e9 / TRACE_STEPS:9.2f} "
+              f"{100 * rest / total_ps:6.1f}")
+    print(f"\n{'top ops':64s} {'ms/step':>9s} {'%':>6s}")
+    for op, ps in per_op.most_common(16):
+        ms = ps / 1e9 / TRACE_STEPS
+        print(f"{op[:64]:64s} {ms:9.2f} {100 * ps / total_ps:6.1f}")
 
 
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "mobilenet_b8"
+    if "--parse-only" in sys.argv[2:]:
+        report(name, float("nan"), f"/tmp/prof_{name}")
+        return
     run_one, carry = build(name)
 
     # compile + warm
@@ -148,18 +181,7 @@ def main():
     jax.profiler.stop_trace()
     wall_ms = (time.perf_counter() - t0) / TRACE_STEPS * 1e3
 
-    totals, total_ps, path = parse_xplane(logdir)
-    dev_ms = total_ps / 1e9 / TRACE_STEPS
-    print(f"\n== {name}: wall {wall_ms:.1f} ms/step, device ops "
-          f"{dev_ms:.1f} ms/step  ({path})")
-    print(f"{'category':44s} {'ms/step':>9s} {'%':>6s}")
-    for cat, ps in totals.most_common(18):
-        ms = ps / 1e9 / TRACE_STEPS
-        print(f"{cat[:44]:44s} {ms:9.2f} {100 * ps / total_ps:6.1f}")
-    rest = total_ps - sum(ps for _, ps in totals.most_common(18))
-    if rest > 0:
-        print(f"{'(rest)':44s} {rest / 1e9 / TRACE_STEPS:9.2f} "
-              f"{100 * rest / total_ps:6.1f}")
+    report(name, wall_ms, logdir)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ class FCDiscriminator(nn.Module):
     # more than the padded reads they replace.  Kept as a knob so the A/B
     # is reproducible (exp/perf_ablate.py 's2d' arm).
     s2d_convs: int = 0
+    # conv1 as the Pallas W-minor kernel (ops/pallas/disc_conv.py): consumes
+    # the softmax side's native layout, skipping the 19->128 lane-pad
+    # relayout the device profile itemizes.  A/B knob
+    # (exp/perf_ablate.py 'pallas_d1' arm); param shapes unchanged.
+    pallas_wminor_conv1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -34,6 +39,7 @@ class FCDiscriminator(nn.Module):
             x = Conv2d(w, 4, stride=2, padding=1, use_bias=True,
                        weight_init="torch_default", dtype=self.dtype,
                        s2d=(i < self.s2d_convs),
+                       pallas_wminor=(i == 0 and self.pallas_wminor_conv1),
                        name=f"conv{i + 1}")(x)
             x = leaky_relu(x, 0.2)
         x = Conv2d(1, 4, stride=2, padding=1, use_bias=True,

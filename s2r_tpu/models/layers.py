@@ -75,6 +75,10 @@ class Conv2d(nn.Module):
     s2d: bool = False  # 4x4/s2/p1 convs only: space-to-depth formulation
     # (ops/s2d.py) — exact numerics, param shape unchanged.  Measured SLOWER
     # in the 512x1024 train step (see ops/s2d.py); off by default.
+    pallas_wminor: bool = False  # 4x4/s2/p1 biased convs only: Pallas
+    # kernel consuming the producer's W-minor layout (ops/pallas/
+    # disc_conv.py) — kills the 19->128 lane-pad relayout at the
+    # discriminator input.  Param shapes unchanged; off by default.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -97,10 +101,23 @@ class Conv2d(nn.Module):
             assert self.groups == in_ch and self.features == in_ch, \
                 "fill is only defined for depthwise convs"
             xin = xin - fill.astype(self.dtype)
-        use_s2d = (self.s2d and (kh, kw) == (4, 4)
-                   and _pair(self.stride) == (2, 2) and (ph, pw) == (1, 1)
-                   and _pair(self.dilation) == (1, 1) and self.groups == 1
-                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        is_4x4s2p1 = ((kh, kw) == (4, 4) and _pair(self.stride) == (2, 2)
+                      and (ph, pw) == (1, 1)
+                      and _pair(self.dilation) == (1, 1)
+                      and self.groups == 1
+                      and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        use_s2d = self.s2d and is_4x4s2p1
+        if self.pallas_wminor and is_4x4s2p1 and self.use_bias:
+            from s2r_tpu.ops.pallas import disc_conv
+            bias = self.param("bias", self._bias_init(kh, kw, in_ch),
+                              (self.features,))
+            # NHWC -> NHCW: a layout no-op when the producer is W-minor
+            # (the kernel's operand layout IS W-minor; see disc_conv.py).
+            y = disc_conv.disc_conv1(jnp.transpose(xin, (0, 1, 3, 2)),
+                                     kernel.astype(self.dtype),
+                                     bias.astype(self.dtype),
+                                     disc_conv.INTERPRET)
+            return y.astype(self.dtype)
         if use_s2d:
             from s2r_tpu.ops.s2d import conv4x4s2_via_s2d
             y = conv4x4s2_via_s2d(xin, kernel.astype(self.dtype))
@@ -122,15 +139,19 @@ class Conv2d(nn.Module):
             y = y + (fill.astype(jnp.float32)
                      * ksum.astype(jnp.float32)).astype(y.dtype)
         if self.use_bias:
-            fan_in = kh * kw * (in_ch // self.groups)
-            bound = 1.0 / fan_in ** 0.5
-
-            def bias_init(key, shape, dtype=jnp.float32):
-                return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-            bias = self.param("bias", bias_init, (self.features,))
+            bias = self.param("bias", self._bias_init(kh, kw, in_ch),
+                              (self.features,))
             y = y + bias.astype(y.dtype)
         return y.astype(self.dtype)
+
+    def _bias_init(self, kh: int, kw: int, in_ch: int):
+        fan_in = kh * kw * (in_ch // self.groups)
+        bound = 1.0 / fan_in ** 0.5
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return bias_init
 
 
 _BN_IMPL = "xla"  # 'xla' | 'pallas' | 'pallas_interpret' (process-wide)
