@@ -71,7 +71,6 @@ def main():
         time_step("full step b8", m.step_fn, state, batch)
 
     if "segonly" in names:
-        import jax.numpy as jnp
         from s2r_tpu.train.losses import cross_entropy
         deeplab = m.deeplab
 

@@ -154,10 +154,59 @@ def report(name, wall_ms, logdir):
         print(f"{op[:64]:64s} {ms:9.2f} {100 * ps / total_ps:6.1f}")
 
 
+# v5e-1 peaks for roofline placement (bf16 MXU, HBM).
+PEAK_GBPS = 819.0
+PEAK_TFLOPS = 197.0
+
+
+def cost(name, dev_ms=None):
+    """XLA cost analysis of the compiled step: logical HBM bytes + flops,
+    placed on the v5e roofline against a measured device-ms (pass it, or it
+    is read from the saved trace under /tmp/prof_<name>)."""
+    c = CONFIGS[name]
+    out_stride = 8 if c["backbone"] == "drn" else 16
+    cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
+                 precision="bf16", backbone=c["backbone"],
+                 out_stride=out_stride)
+    if c["method"] == "eval":
+        m = build_method(cfg, 1000, method="output_adapt")
+        state = m.init_state(jax.random.PRNGKey(0))
+        params, bstats = m.eval_variables(state)
+        rng = np.random.RandomState(0)
+        img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
+        lbl = jnp.zeros((1, 1024, 2048), jnp.int32)
+        lowered = jax.jit(m.eval_step).lower(params, bstats, img, lbl)
+    else:
+        m = build_method(cfg, 1000, method=c["method"])
+        state = m.init_state(jax.random.PRNGKey(0))
+        lowered = jax.jit(m.step_fn, donate_argnums=0).lower(
+            state, make_batch(c["batch"]))
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    gb = ca.get("bytes accessed", 0.0) / 1e9
+    tflop = ca.get("flops", 0.0) / 1e12
+    print(f"{name}: cost analysis {gb:.1f} GB accessed, {tflop:.2f} TFLOP")
+    if dev_ms is None:
+        try:
+            _, _, total_ps, _ = parse_xplane(f"/tmp/prof_{name}")
+            dev_ms = total_ps / 1e9 / TRACE_STEPS
+        except AssertionError:
+            return
+    bw = gb / (dev_ms / 1e3)
+    fl = tflop / (dev_ms / 1e3)
+    print(f"  @ {dev_ms:.1f} ms/step: {bw:.0f} GB/s logical = "
+          f"{100 * bw / PEAK_GBPS:.0f}% of HBM roofline; "
+          f"{fl:.1f} TFLOP/s = {100 * fl / PEAK_TFLOPS:.0f}% of bf16 MXU")
+
+
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "mobilenet_b8"
     if "--parse-only" in sys.argv[2:]:
         report(name, float("nan"), f"/tmp/prof_{name}")
+        return
+    if "--cost" in sys.argv[2:]:
+        cost(name)
         return
     run_one, carry = build(name)
 
