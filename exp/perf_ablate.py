@@ -34,6 +34,10 @@ def make_batch(batch):
 
 
 def time_step(name, step, state, batch, iters=10, donate=True):
+    if donate:
+        # copy so the caller's state survives donation (arms share one
+        # baseline state when several run in one process)
+        state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))(state)
     step = jax.jit(step, donate_argnums=0 if donate else ())
     t0 = time.perf_counter()
     state2, _ = step(state, batch)

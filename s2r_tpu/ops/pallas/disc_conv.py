@@ -23,12 +23,17 @@ program DMAs a haloed slab of 2*th+2 full [C, W] rows into VMEM scratch (H
 is an untiled dim, so odd row offsets are legal — same trick as
 depthwise.py), zero-fills the pad rows at the image borders, then per
 output row:
-  - deinterleaves each needed input row into even/odd lane phases (the
-    stride-2 taps become plain lane shifts of the phases),
   - stacks the 16 (kh, kw) taps x 19 channels plus a ones-row (bias) into
-    X [305, W/2],
-  - one MXU matmul Kmat[ndf, 305] @ X -> [ndf, W/2], accumulated in f32,
-  - transposes to the [W/2, ndf] output row.
+    X [305, W] at FULL width — every tap is a stride-1 lane shift, so no
+    lane deinterleave is needed (Mosaic cannot lower lane-strided loads;
+    both tpu.strided_load and vector.extract_strided_slice reject a
+    minor-dim stride of 2),
+  - one MXU matmul Kmat[ndf, 305] @ X -> [ndf, W] accumulated in f32 (2x
+    the stride-2 FLOPs — the odd output columns are computed and dropped;
+    the matmul is MXU-cheap next to the relayouts this kernel deletes),
+  - transposes to [W, ndf], parks it in a VMEM scratch, and keeps only the
+    even rows via a SUBLANE-strided ref load (stride-2 on the second-minor
+    dim, which Mosaic does support) -> the [W/2, ndf] output row.
 
 Backward stays in XLA (jax.custom_vjp): dX is a transposed conv written
 with NHCW output dimension numbers (so the cotangent flows back to the
@@ -63,13 +68,12 @@ def _pick_row_tile(h_out: int, c: int, w: int, itemsize: int) -> int:
     return 1
 
 
-def _d1_kernel(x_hbm, kmat_ref, o_ref, scratch, sem, *, th: int, nj: int,
-               h: int, c: int):
+def _d1_kernel(x_hbm, kmat_ref, o_ref, scratch, ysc, sem, *, th: int,
+               nj: int, h: int, c: int):
     """One (batch i, row-tile j) program: output rows [j*th, (j+1)*th)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     w = x_hbm.shape[3]
-    w2 = w // 2
     nrows = 2 * th + 2  # input rows 2*j*th - 1 .. 2*(j+1)*th
 
     def copy(src_row0, n, dst_row0):
@@ -100,35 +104,39 @@ def _d1_kernel(x_hbm, kmat_ref, o_ref, scratch, sem, *, th: int, nj: int,
         def _interior():
             copy(2 * j * th - 1, nrows, 0)
 
-    # Per-scratch-row lane deinterleave, computed once (each input row is
-    # shared by up to two output rows).
     zcol = jnp.zeros((c, 1), scratch.dtype)
-    even, odd = [], []
-    for s in range(nrows):
-        row = scratch[s]
-        even.append(row[:, 0::2])
-        odd.append(row[:, 1::2])
-
-    ones = jnp.ones((1, w2), scratch.dtype)
+    zcol2 = jnp.zeros((c, 2), scratch.dtype)
+    ones = jnp.ones((1, w), scratch.dtype)
     for r in range(th):
         pieces = []
         for kh in range(4):
-            s = 2 * r + kh
-            e, o = even[s], odd[s]
-            # input col 2*w' + kw - 1 for kw = 0..3:
-            pieces.append(jnp.concatenate([zcol, o[:, :w2 - 1]], axis=1))
-            pieces.append(e)
-            pieces.append(o)
-            pieces.append(jnp.concatenate([e[:, 1:], zcol], axis=1))
-        x = jnp.concatenate(pieces + [ones], axis=0)  # [16c + 1, W/2]
+            row = scratch[2 * r + kh]
+            # tap kw at output col x reads input col x + kw - 1:
+            pieces.append(jnp.concatenate([zcol, row[:, :w - 1]], axis=1))
+            pieces.append(row)
+            pieces.append(jnp.concatenate([row[:, 1:], zcol], axis=1))
+            pieces.append(jnp.concatenate([row[:, 2:], zcol2], axis=1))
+        x = jnp.concatenate(pieces + [ones], axis=0)  # [16c + 1, W]
         y = jnp.dot(kmat_ref[:], x,
-                    preferred_element_type=jnp.float32)  # [ndf, W/2]
-        o_ref[0, r] = y.T.astype(o_ref.dtype)
+                    preferred_element_type=jnp.float32)  # [ndf, W]
+        ysc[...] = y.T  # [W, ndf]
+        o_ref[0, r] = ysc[0::2, :].astype(o_ref.dtype)
 
 
-def _d1_forward(x, kmat, interpret=False):
-    """x [N, H, C, W], kmat [ndf, 16*C + 1] -> [N, H/2, W/2, ndf]."""
+def _d1_forward(x, kernel, bias, interpret=False):
+    """x [N, H, C, W], kernel HWIO [4, 4, C, ndf] -> [N, H/2, W/2, ndf].
+
+    C is zero-padded to the sublane tile (8) before the pallas_call: the
+    halo DMA slices rows of the [C, W] plane, and Mosaic requires DMA
+    slice shapes on a tiled dim to be tile-aligned (19 is not).  The pad
+    columns carry zero kernel taps, so the matmul is unchanged."""
     n, h, c, w = x.shape
+    cpad = -(-c // 8) * 8
+    if cpad != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cpad - c), (0, 0)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cpad - c), (0, 0)))
+        c = cpad
+    kmat = pack_kernel(kernel, bias)
     ndf = kmat.shape[0]
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     th = _pick_row_tile(h // 2, c, w, x.dtype.itemsize)
@@ -146,6 +154,7 @@ def _d1_forward(x, kmat, interpret=False):
                                lambda i, j: (i, j, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2 * th + 2, c, w), x.dtype),
+            pltpu.VMEM((w, ndf), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -167,11 +176,11 @@ def disc_conv1(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     """4x4 / stride 2 / pad 1 convolution + bias, input [N, H, C, W]
     (W-minor — the softmax side's native layout), output NHWC
     [N, H/2, W/2, ndf].  kernel HWIO [4, 4, C, ndf], bias [ndf]."""
-    return _d1_forward(x, pack_kernel(kernel, bias), interpret)
+    return _d1_forward(x, kernel, bias, interpret)
 
 
 def _d1_fwd(x, kernel, bias, interpret):
-    return _d1_forward(x, pack_kernel(kernel, bias), interpret), (x, kernel)
+    return _d1_forward(x, kernel, bias, interpret), (x, kernel)
 
 
 def _d1_dk(x, g32):
