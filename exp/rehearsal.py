@@ -163,7 +163,8 @@ def main():
     run(py + ["s2r_tpu.cli.test_adapt", "--dataset", "gtav2cityscapes",
               *roots, "--resume", ckpt, "--batch-size", "4",
               "--workers", "4", "--run-root", args.run_root,
-              "--checkname", "rehearsal_test"], log)
+              "--checkname", "rehearsal_test",
+              "--out-dir", os.path.join(args.run_root, "result")], log)
 
     # 4) export to the reference torch schema + strict-load parity
     exported = os.path.join(args.run_root, "rehearsal_export.pth.tar")
@@ -171,6 +172,11 @@ def main():
               "--method", "output_adapt"], log)
     check = (
         "import torch, sys; sys.path.insert(0, '/root/reference');"
+        "from modeling.backbone import mobilenet as refmb;"
+        # the reference ctor force-loads its pretrained blob, absent from
+        # this snapshot (.MISSING_LARGE_BLOBS); strict-load overwrites
+        # every weight anyway
+        "refmb.MobileNetV2._load_pretrained_model = lambda self: None;"
         "from modeling.deeplab import DeepLab;"
         f"ck = torch.load('{exported}', map_location='cpu');"
         "m = DeepLab(backbone='mobilenet', output_stride=16, num_classes=19,"

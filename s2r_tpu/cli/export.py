@@ -34,6 +34,8 @@ def main(argv=None):
     if not cfg.resume:
         parser.error("--resume <checkpoint> is required")
 
+    import dataclasses
+
     import jax
 
     from s2r_tpu.core.mesh import make_mesh
@@ -43,7 +45,9 @@ def main(argv=None):
 
     m = build_method(cfg, iters_per_epoch=1, method=args.method)
     t = object.__new__(Trainer)
-    t.cfg = cfg
+    # ft=True (the resume default) would zero start_epoch; the exported
+    # 'epoch' field must reflect the checkpoint's own epoch
+    t.cfg = cfg = dataclasses.replace(cfg, ft=False)
     t.method = m
     t.state = m.init_state(jax.random.PRNGKey(cfg.seed))
     t.best_pred = 0.0
@@ -57,7 +61,7 @@ def main(argv=None):
         # feature-method states carry the domain classifier under 'D'
         domain = (t.state.params["D"], t.state.batch_stats["D"])
     save_reference_checkpoint(args.out, params, bstats,
-                              epoch=0, best_pred=t.best_pred,
+                              epoch=t.start_epoch, best_pred=t.best_pred,
                               output_stride=cfg.out_stride,
                               schema=args.schema, domain=domain)
     print(f"exported {args.schema}-schema checkpoint to {args.out}")
