@@ -155,9 +155,10 @@ def main():
 
     # 2) full val sweep: per-image export (validationSep) + aggregate mIoU
     run(py + ["s2r_tpu.cli.val_adapt", "--dataset", "gtav2cityscapes",
-              *roots, "--resume", ckpt, "--batch-size", "4",
+              *roots, "--resume", ckpt, "--batch-size", "8",
               "--workers", "4", "--run-root", args.run_root,
-              "--checkname", "rehearsal_val"], log)
+              "--checkname", "rehearsal_val",
+              "--out-dir", os.path.join(args.run_root, "run_val")], log)
 
     # 3) label-free test sweep -> labelId + color PNGs
     run(py + ["s2r_tpu.cli.test_adapt", "--dataset", "gtav2cityscapes",

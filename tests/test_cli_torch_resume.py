@@ -16,6 +16,7 @@ from modeling.assp import ASPP as TorchASPP  # noqa: E402
 from modeling.decoder import Decoder as TorchDecoder  # noqa: E402
 from modeling.domian import DomainClassifer as TorchDomain  # noqa: E402
 
+from s2r_tpu.cli import export as export_cli  # noqa: E402
 from s2r_tpu.cli import val as val_cli  # noqa: E402
 from s2r_tpu.cli import val_adapt as val_adapt_cli  # noqa: E402
 
@@ -46,6 +47,22 @@ def test_val_adapt_resumes_single_schema_checkpoint(tmp_path):
         "--precision", "f32", "--skip-sep"])
     assert np.isfinite(miou)
     assert os.path.exists(os.path.join(out, "val_info.txt"))
+
+
+def test_cli_export_carries_epoch_and_best_pred(tmp_path):
+    """cli.export must propagate the source checkpoint's epoch/best_pred
+    into the torch schema (regression: it hardcoded epoch=0 because the
+    resume default --ft zeroes start_epoch)."""
+    sd, *_ = _composite_state_dict()
+    src = str(tmp_path / "ref_single.pth.tar")
+    torch.save({"state_dict": sd, "epoch": 7, "best_pred": 0.31,
+                "optimizer": {}}, src)
+    out = str(tmp_path / "exported.pth.tar")
+    export_cli.main(["--resume", src, "--out", out,
+                     "--method", "output_adapt", "--precision", "f32"])
+    ck = torch.load(out, map_location="cpu", weights_only=False)
+    assert ck["epoch"] == 7
+    assert abs(ck["best_pred"] - 0.31) < 1e-9
 
 
 def test_val_resumes_four_schema_checkpoint(tmp_path):
