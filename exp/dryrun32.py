@@ -1,8 +1,8 @@
 """32-virtual-device multichip dryrun artifact (VERDICT r2 item 8).
 
 Runs `__graft_entry__.dryrun_multichip(32)` — the FULL output-adapt train
-step jitted over a 32-device data-parallel mesh (self-provisioned virtual
-CPU devices, same path the driver's multichip check uses) — and records the
+step jitted over a 32-device 16x2 data x spatial mesh (self-provisioned
+virtual CPU devices, same path the driver's multichip check uses) — and records the
 result as MULTICHIP_32dev.json so the "dryrun validates to 32 devices"
 claim has an in-tree artifact.
 
@@ -36,8 +36,10 @@ def main() -> None:
         "ok": err is None,
         "seconds": round(time.time() - t0, 1),
         "error": err,
-        "note": "full output_adapt train step, 32-device data-parallel "
-                "mesh, one step on tiny shapes (virtual CPU devices)",
+        "note": "full output_adapt train step, 32-device 16x2 data x "
+                "spatial mesh (batch N over 'data', image H over 'space' "
+                "with GSPMD conv halo exchanges), one step on tiny shapes "
+                "(virtual CPU devices)",
     }
     out = os.path.join(REPO, "MULTICHIP_32dev.json")
     with open(out, "w") as f:

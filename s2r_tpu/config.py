@@ -115,6 +115,11 @@ class Config:
     # Shard the image H axis over the mesh during validation (GSPMD inserts
     # conv halo exchanges) — for full-res sweeps that don't fit one chip.
     eval_spatial_shard: bool = False
+    # Train-time spatial sharding: split the image H axis over this many
+    # devices (a 2-D data x space mesh; GSPMD halo exchanges in the convs
+    # and BN/grad reductions span both axes).  1 = pure data parallelism
+    # (the reference scope).  For full-res crops too large for one chip.
+    spatial_shard: int = 1
 
     # --- faithful-quirk switches (reference behaviors preserved by default,
     #     see SURVEY.md §2.6; flip to fix) ---
@@ -241,6 +246,10 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                    dest="eval_interval")
     p.add_argument("--eval-spatial-shard", action="store_true",
                    default=d.eval_spatial_shard, dest="eval_spatial_shard")
+    p.add_argument("--spatial-shard", type=int, default=d.spatial_shard,
+                   dest="spatial_shard",
+                   help="shard the image H axis over this many devices "
+                        "during training (data x space mesh)")
     p.add_argument("--no-val", action="store_true", default=d.no_val, dest="no_val")
     p.add_argument("--run-root", type=str, default=d.run_root, dest="run_root")
     p.add_argument("--adv-softmax-axis", type=str, default=d.adv_softmax_axis,

@@ -20,24 +20,47 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def make_mesh(num_devices: Optional[int] = None,
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D data-parallel mesh over local devices.
+              devices: Optional[Sequence[jax.Device]] = None,
+              spatial: int = 1) -> Mesh:
+    """Device mesh over local devices.
 
-    Spatial/model axes can be added later by reshaping the device array; the
-    reference scope is pure data parallelism (SURVEY.md §2.2).
+    `spatial == 1` (the reference scope, SURVEY.md §2.2): a 1-D pure
+    data-parallel mesh.  `spatial > 1`: a 2-D ('data', 'space') mesh —
+    batches shard N over 'data' and the image H axis over 'space', so one
+    sample's activations are split across `spatial` chips (GSPMD inserts
+    the conv halo exchanges; the analogue of sequence parallelism for this
+    conv workload).  Train-time spatial sharding is how crops too large
+    for one chip's HBM train at all.
     """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if spatial <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % spatial:
+        raise ValueError(f"spatial={spatial} must divide the device count "
+                         f"({len(devices)})")
+    arr = np.asarray(devices).reshape(len(devices) // spatial, spatial)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard a [N, ...] array's leading (batch) dimension over the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def leaf_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch sharding for one array: N over 'data', plus H (dim 1) over
+    'space' when the mesh has a spatial axis and the array has an H dim
+    ([N, H, W(, C)] images/labels; rank-1 per-sample leaves stay
+    data-sharded only)."""
+    if SPACE_AXIS in mesh.axis_names and ndim >= 3:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -60,20 +83,24 @@ def put_global(x, sharding: NamedSharding):
     x = np.asarray(x)
     global_shape = list(x.shape)
     for d, axis in enumerate(sharding.spec):
-        if axis is not None:
+        # Only the 'data' axis spans processes (loader slices are per-host
+        # batch shards); a 'space' axis lives within each host's devices,
+        # so H is host-complete and its global extent equals the local one.
+        if axis == DATA_AXIS:
             global_shape[d] *= pc
     return jax.make_array_from_process_local_data(sharding, x,
                                                   tuple(global_shape))
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-dim sharding.
+    """Device-put a pytree of host arrays with batch-dim sharding (plus
+    H-dim sharding on a 2-D ('data', 'space') mesh).
 
     Multi-host: each process passes its local batch shard (see
     data/loader.py per-host strided slicing); the result is the global
     batch."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: put_global(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: put_global(x, leaf_sharding(mesh, np.ndim(x))), batch)
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:

@@ -13,39 +13,39 @@ from __future__ import annotations
 import collections
 from typing import Dict, Iterable, Iterator
 
-import jax
+import numpy as np
 from jax.sharding import Mesh
 
-from s2r_tpu.core.mesh import batch_sharding, put_global
+from s2r_tpu.core.mesh import leaf_sharding, put_global
 
 
-def _put(batch: Dict, sharding):
+def _put(batch: Dict, mesh: Mesh):
     out = {}
     for k, v in batch.items():
         if isinstance(v, (list, str)):
             out[k] = v
         else:
             # multi-host aware: v is the per-host batch shard and the
-            # result is the global batch array (core/mesh.py::put_global)
-            out[k] = put_global(v, sharding)
+            # result is the global batch array (core/mesh.py::put_global).
+            # Per-leaf spec: N over 'data', H over 'space' on 2-D meshes.
+            out[k] = put_global(v, leaf_sharding(mesh, np.ndim(v)))
     return out
 
 
 def prefetch_to_device(iterator: Iterable[Dict], mesh: Mesh,
                        size: int = 2) -> Iterator[Dict]:
     """Yield device-resident, batch-sharded batches with `size` in flight."""
-    sharding = batch_sharding(mesh)
     it = iter(iterator)
     buf = collections.deque()
     try:
         for _ in range(size):
-            buf.append(_put(next(it), sharding))
+            buf.append(_put(next(it), mesh))
     except StopIteration:
         pass
     while buf:
         out = buf.popleft()
         try:
-            buf.append(_put(next(it), sharding))
+            buf.append(_put(next(it), mesh))
         except StopIteration:
             pass
         yield out

@@ -37,10 +37,25 @@ from s2r_tpu.utils.calculate_weights import load_or_compute_weights
 from s2r_tpu.utils.summaries import TensorboardSummary
 
 
-def pick_num_devices(batch_size: int, requested: Optional[int]) -> int:
+def pick_num_devices(batch_size: int, requested: Optional[int],
+                     spatial: int = 1) -> int:
     """Largest device count <= available (and <= requested) dividing the
     batch.  Multi-host: the mesh must span every process's devices, so the
-    global batch must divide evenly."""
+    global batch must divide evenly.  With `spatial > 1`, the batch only
+    needs to divide the data-parallel rows (devices // spatial)."""
+    if spatial > 1:
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "--spatial-shard is single-process; multi-host runs use "
+                "per-host batch sharding")
+        avail = len(jax.devices())
+        if requested:
+            avail = min(avail, requested)
+        if avail % spatial:
+            raise ValueError(f"--spatial-shard {spatial} must divide the "
+                             f"device count ({avail})")
+        dp = pick_num_devices(batch_size, avail // spatial)
+        return dp * spatial
     avail = len(jax.devices())
     if jax.process_count() > 1:
         if batch_size % avail:
@@ -98,10 +113,14 @@ class Trainer:
             weights = jnp.asarray(
                 load_or_compute_weights(cfg, self.train_loader, self.nclass))
 
-        n_dev = pick_num_devices(cfg.batch_size, cfg.num_devices)
+        sp = max(1, cfg.spatial_shard)
+        n_dev = pick_num_devices(cfg.batch_size, cfg.num_devices, sp)
+        # batch-pad rounds to the DATA-parallel width (batch shards), not
+        # the total device count — H sharding doesn't split the batch.
         self.method: Method = build_method(cfg, len(self.train_loader),
-                                           weights, method, n_devices=n_dev)
-        self.mesh = make_mesh(n_dev)
+                                           weights, method,
+                                           n_devices=n_dev // sp)
+        self.mesh = make_mesh(n_dev, spatial=sp)
         self.state = replicate(
             self.method.init_state(jax.random.PRNGKey(cfg.seed)), self.mesh)
         self.train_step = jax.jit(self.method.step_fn, donate_argnums=0)
