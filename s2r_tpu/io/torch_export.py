@@ -82,6 +82,95 @@ def export_backbone(params: Dict, stats: Dict, output_stride: int = 16,
     return out
 
 
+def _xception_block_specs():
+    """(name, reps, has_skip) per XceptionBlock — the structural rules of
+    models/xception.py (param structure is output_stride-independent:
+    strides/dilations carry no weights)."""
+    specs = [("block1", 2, True), ("block2", 2, True), ("block3", 2, True)]
+    specs += [(f"block{i + 4}", 3, False) for i in range(16)]
+    specs += [("block20", 2, True)]
+    return specs
+
+
+def _sep_export(out: Dict, key: str, p: Dict, s: Dict):
+    """SeparableConv -> torch keys {key}.conv1 (depthwise), {key}.bn
+    (the between-dw-and-pw BN), {key}.pointwise."""
+    _conv(out, f"{key}.conv1", p["dw"])
+    _bn(out, f"{key}.bn", p["dw_bn"], s["dw_bn"])
+    _conv(out, f"{key}.pointwise", p["pw"])
+
+
+def export_xception(params: Dict, stats: Dict, prefix: str = "") -> Dict:
+    """AlignedXception -> torch state dict.
+
+    No torch ground truth exists (the reference factory crashes on
+    'xception', modeling/backbone/__init__.py:6-7), so this defines the
+    canonical torch schema for checkpoint interop — the natural nn.Module
+    mirror of models/xception.py: conv1/bn1, conv2/bn2 stem;
+    block{k}.sep{r}.{conv1,bn,pointwise} + block{k}.bn{r} (+ skip/skipbn);
+    exit conv{3,4,5}.{conv1,bn,pointwise} + bn{3,4,5}.  SeparableConv
+    internals use the conv1/bn/pointwise names of the standard
+    DeepLab-V3+ torch implementations.  import_xception is the inverse
+    (tests/test_torch_xcept_drn.py pins torch-forward parity)."""
+    out: Dict = {}
+    _conv(out, f"{prefix}conv1", params["conv1"])
+    _bn(out, f"{prefix}bn1", params["bn1"], stats["bn1"])
+    _conv(out, f"{prefix}conv2", params["conv2"])
+    _bn(out, f"{prefix}bn2", params["bn2"], stats["bn2"])
+    for name, reps, has_skip in _xception_block_specs():
+        bp, bs = params[name], stats[name]
+        for r in range(1, reps + 1):
+            _sep_export(out, f"{prefix}{name}.sep{r}",
+                        bp[f"sep{r}"], bs[f"sep{r}"])
+            _bn(out, f"{prefix}{name}.bn{r}", bp[f"bn{r}"], bs[f"bn{r}"])
+        if has_skip:
+            _conv(out, f"{prefix}{name}.skip", bp["skip_conv"])
+            _bn(out, f"{prefix}{name}.skipbn", bp["skip_bn"],
+                bs["skip_bn"])
+    for name in ("conv3", "conv4", "conv5"):
+        _sep_export(out, f"{prefix}{name}", params[name], stats[name])
+        _bn(out, f"{prefix}bn{name[-1]}", params[f"{name}_bn"],
+            stats[f"{name}_bn"])
+    return out
+
+
+def export_drn(params: Dict, stats: Dict, prefix: str = "") -> Dict:
+    """DRN-D-54 -> torch state dict.
+
+    Same situation as export_xception: the reference factory's 'drn' has
+    no module, so this defines the interop schema — the nn.Module mirror
+    of models/drn.py: level{L}.conv{r}/bn{r} for the plain conv levels
+    (1, 2, 7, 8); level{L}.block{B}.{conv1..bn3,downsample.0,downsample.1}
+    for the Bottleneck levels 3-6 (torchvision residual-block names)."""
+    from s2r_tpu.models.drn import LAYERS_D54
+
+    out: Dict = {}
+    conv_levels = {1: LAYERS_D54[0], 2: LAYERS_D54[1],
+                   7: LAYERS_D54[6], 8: LAYERS_D54[7]}
+    for lv, reps in conv_levels.items():
+        lp, ls = params[f"level{lv}"], stats[f"level{lv}"]
+        for r in range(1, reps + 1):
+            _conv(out, f"{prefix}level{lv}.conv{r}", lp[f"conv{r}"])
+            _bn(out, f"{prefix}level{lv}.bn{r}", lp[f"bn{r}"],
+                ls[f"bn{r}"])
+    res_levels = {3: LAYERS_D54[2], 4: LAYERS_D54[3],
+                  5: LAYERS_D54[4], 6: LAYERS_D54[5]}
+    for lv, reps in res_levels.items():
+        for bi in range(1, reps + 1):
+            name = f"level{lv}_block{bi}"
+            tk = f"{prefix}level{lv}.block{bi}"
+            bp, bs = params[name], stats[name]
+            for sub in ("conv1", "conv2", "conv3"):
+                _conv(out, f"{tk}.{sub}", bp[sub])
+            for sub in ("bn1", "bn2", "bn3"):
+                _bn(out, f"{tk}.{sub}", bp[sub], bs[sub])
+            if "downsample_conv" in bp:
+                _conv(out, f"{tk}.downsample.0", bp["downsample_conv"])
+                _bn(out, f"{tk}.downsample.1", bp["downsample_bn"],
+                    bs["downsample_bn"])
+    return out
+
+
 def export_aspp(params: Dict, stats: Dict, prefix: str = "") -> Dict:
     out: Dict = {}
     for k in range(1, 5):

@@ -186,6 +186,82 @@ def import_resnet(sd: Dict, depth: str = "resnet101",
     return b.params, b.stats
 
 
+def _sep_import(b: "_TreeBuilder", sd: Dict, torch_key: str, path):
+    """torch {key}.{conv1 (depthwise), bn, pointwise} -> flax SeparableConv
+    {dw, dw_bn, pw} (models/xception.py:37-54)."""
+    b.conv(sd, f"{torch_key}.conv1", path + ("dw",))
+    b.bn(sd, f"{torch_key}.bn", path + ("dw_bn",))
+    b.conv(sd, f"{torch_key}.pointwise", path + ("pw",))
+
+
+def import_xception(sd: Dict, prefix: str = "", order_sink=None,
+                    path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
+    """torch AlignedXception state dict -> (params, batch_stats).
+
+    Key schema: the canonical torch mirror defined by
+    torch_export.export_xception (the reference factory ships no xception
+    module, modeling/backbone/__init__.py:6-7): conv1/bn1, conv2/bn2;
+    block{k}.sep{r}.{conv1,bn,pointwise} + block{k}.bn{r} (+ skip/skipbn);
+    exit conv{3,4,5}.{conv1,bn,pointwise} + bn{3,4,5}.  Param structure is
+    output_stride-independent."""
+    from s2r_tpu.io.torch_export import _xception_block_specs
+
+    b = _TreeBuilder()
+    p = prefix
+    b.conv(sd, f"{p}conv1", ("conv1",))
+    b.bn(sd, f"{p}bn1", ("bn1",))
+    b.conv(sd, f"{p}conv2", ("conv2",))
+    b.bn(sd, f"{p}bn2", ("bn2",))
+    for name, reps, has_skip in _xception_block_specs():
+        for r in range(1, reps + 1):
+            _sep_import(b, sd, f"{p}{name}.sep{r}", (name, f"sep{r}"))
+            b.bn(sd, f"{p}{name}.bn{r}", (name, f"bn{r}"))
+        if has_skip:
+            b.conv(sd, f"{p}{name}.skip", (name, "skip_conv"))
+            b.bn(sd, f"{p}{name}.skipbn", (name, "skip_bn"))
+    for name in ("conv3", "conv4", "conv5"):
+        _sep_import(b, sd, f"{p}{name}", (name,))
+        b.bn(sd, f"{p}bn{name[-1]}", (f"{name}_bn",))
+    if order_sink is not None:
+        order_sink.extend((path_prefix + pa, c) for pa, c in b.order)
+    return b.params, b.stats
+
+
+def import_drn(sd: Dict, prefix: str = "", order_sink=None,
+               path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
+    """torch DRN-D-54 state dict -> (params, batch_stats).
+
+    Key schema: the canonical torch mirror defined by
+    torch_export.export_drn: level{L}.conv{r}/bn{r} for plain conv levels
+    (1, 2, 7, 8); level{L}.block{B}.{conv1..bn3,downsample.0/.1} for the
+    Bottleneck levels 3-6 (torchvision residual-block names) -> our
+    level{L}_block{B} trees (models/drn.py)."""
+    from s2r_tpu.models.drn import LAYERS_D54
+
+    b = _TreeBuilder()
+    p = prefix
+    for lv, reps in ((1, LAYERS_D54[0]), (2, LAYERS_D54[1]),
+                     (7, LAYERS_D54[6]), (8, LAYERS_D54[7])):
+        for r in range(1, reps + 1):
+            b.conv(sd, f"{p}level{lv}.conv{r}", (f"level{lv}", f"conv{r}"))
+            b.bn(sd, f"{p}level{lv}.bn{r}", (f"level{lv}", f"bn{r}"))
+    for lv, reps in ((3, LAYERS_D54[2]), (4, LAYERS_D54[3]),
+                     (5, LAYERS_D54[4]), (6, LAYERS_D54[5])):
+        for bi in range(1, reps + 1):
+            tk = f"{p}level{lv}.block{bi}"
+            name = f"level{lv}_block{bi}"
+            for sub in ("conv1", "conv2", "conv3"):
+                b.conv(sd, f"{tk}.{sub}", (name, sub))
+            for sub in ("bn1", "bn2", "bn3"):
+                b.bn(sd, f"{tk}.{sub}", (name, sub))
+            if f"{tk}.downsample.0.weight" in sd:
+                b.conv(sd, f"{tk}.downsample.0", (name, "downsample_conv"))
+                b.bn(sd, f"{tk}.downsample.1", (name, "downsample_bn"))
+    if order_sink is not None:
+        order_sink.extend((path_prefix + pa, c) for pa, c in b.order)
+    return b.params, b.stats
+
+
 def import_discriminator(sd: Dict, prefix: str = "", order_sink=None,
                          path_prefix: Tuple = ()) -> Tuple[Dict, Dict]:
     b = _TreeBuilder()

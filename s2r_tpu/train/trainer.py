@@ -136,18 +136,25 @@ class Trainer:
             self._resume(cfg.resume)
 
     def _init_backbone(self, path: str):
-        """Load a torch MobileNetV2 state dict into the backbone — the
-        reference's pretrained mobilenet_VOC.pth path (mobilenet.py:113-132,
-        which silently keeps only matching keys)."""
+        """Load a torch backbone state dict — the reference's pretrained
+        mobilenet_VOC.pth path (mobilenet.py:113-132, which silently keeps
+        only matching keys); resnet takes torchvision layout; xception/drn
+        take the canonical schemas defined by torch_export (the reference
+        factory ships no modules for those names)."""
         import torch
 
-        from s2r_tpu.io.torch_import import import_backbone, import_resnet
+        from s2r_tpu.io.torch_import import (import_backbone, import_drn,
+                                             import_resnet, import_xception)
 
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if "state_dict" in sd:
             sd = sd["state_dict"]
         if self.cfg.backbone == "mobilenet":
             bp, bs = import_backbone(sd, self.cfg.out_stride)
+        elif self.cfg.backbone == "xception":
+            bp, bs = import_xception(sd)
+        elif self.cfg.backbone == "drn":
+            bp, bs = import_drn(sd)
         else:
             depth = "resnet50" if self.cfg.backbone == "resnet50" \
                 else "resnet101"

@@ -80,6 +80,41 @@ def test_pick_num_devices_spatial():
         pick_num_devices(4, None, spatial=3)
 
 
+def test_spatial_shard_with_batch_pad(monkeypatch):
+    """batch-pad x spatial-shard: an in-step-padded (pad_to=8) batch-4 step
+    on a dp4 x sp2 mesh matches the same padded step on one device — the
+    global-index pad masks are orthogonal to H sharding (BN stat masking
+    reduces over N; the 'space' axis only splits H)."""
+    from s2r_tpu.train import setup as setup_mod
+
+    monkeypatch.setattr(setup_mod, "_step_pad_to", lambda cfg, n: 8)
+    cfg = Config(crop_size=HW, base_size=HW, epochs=5, batch_size=4,
+                 precision="f32", dataset="synthetic", pad_stats=False)
+    m = build_method(cfg, 10, method="output_adapt")
+    rng = np.random.RandomState(3)
+    batch = {
+        "src_image": jnp.asarray(rng.randn(4, HW, HW, 3), jnp.float32),
+        "src_label": jnp.asarray(rng.randint(0, 19, (4, HW, HW)), jnp.int32),
+        "tgt_image": jnp.asarray(rng.randn(4, HW, HW, 3), jnp.float32),
+    }
+    state = m.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(m.step_fn)
+    ref_state, ref_met = step(state, batch)
+
+    mesh = make_mesh(8, spatial=2)
+    sh_state = replicate(state, mesh)
+    sh_batch = shard_batch(batch, mesh)
+    new_state, met = step(sh_state, sh_batch)
+
+    for k in ref_met:
+        np.testing.assert_allclose(float(met[k]), float(ref_met[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(ref_state.batch_stats),
+                    jax.tree.leaves(new_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_trainer_spatial_shard_end_to_end(tmp_path):
     """--spatial-shard through the Trainer: 2-D mesh built, batches fed
     H-sharded, one train epoch + validation run finite."""
