@@ -74,6 +74,18 @@ def main():
     if "full8" in names:
         time_step("full step b8", m.step_fn, state, batch)
 
+    if "logits_bf16" in names:
+        # Config.logits_dtype='bf16' arm: full-res logits (and every
+        # downstream full-res 19-ch tensor: softmax maps, D input + its
+        # layout copies, CE input, gradients) at half width.  Opt-in,
+        # non-parity; state/params structure is unchanged so the baseline
+        # state is reused.
+        cfg_b = Config(crop_size=H, base_size=H, batch_size=8, epochs=200,
+                       precision="bf16", logits_dtype="bf16")
+        m_b = build_method(cfg_b, iters_per_epoch=1000,
+                           method="output_adapt")
+        time_step("logits bf16 b8", m_b.step_fn, state, batch)
+
     if "segonly" in names:
         from s2r_tpu.train.losses import cross_entropy
         deeplab = m.deeplab

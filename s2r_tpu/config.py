@@ -120,6 +120,12 @@ class Config:
     # and BN/grad reductions span both axes).  1 = pure data parallelism
     # (the reference scope).  For full-res crops too large for one chip.
     spatial_shard: int = 1
+    # dtype of the full-res upsampled logits: 'f32' (reference semantics —
+    # CE/softmax consume f32 maps) or 'bf16' (opt-in fast mode: halves the
+    # HBM traffic of every full-res 19-channel tensor — resize write,
+    # adversarial softmax maps, discriminator input + layout copies, CE
+    # input, and their gradients).  Loss reductions stay f32 either way.
+    logits_dtype: str = "f32"
 
     # --- faithful-quirk switches (reference behaviors preserved by default,
     #     see SURVEY.md §2.6; flip to fix) ---
@@ -250,6 +256,10 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                    dest="spatial_shard",
                    help="shard the image H axis over this many devices "
                         "during training (data x space mesh)")
+    p.add_argument("--logits-dtype", type=str, default=d.logits_dtype,
+                   choices=["f32", "bf16"], dest="logits_dtype",
+                   help="dtype of the full-res upsampled logits (bf16 = "
+                        "opt-in fast mode; f32 = reference semantics)")
     p.add_argument("--no-val", action="store_true", default=d.no_val, dest="no_val")
     p.add_argument("--run-root", type=str, default=d.run_root, dest="run_root")
     p.add_argument("--adv-softmax-axis", type=str, default=d.adv_softmax_axis,

@@ -16,7 +16,7 @@ even in training.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -37,6 +37,13 @@ class DeepLab(nn.Module):
     # reference fixed_padding BN-statistics quirk (see models/mobilenet.py);
     # exact torch train dynamics when True, ~10% faster steps when False
     pad_stats: bool = True
+    # dtype of the full-resolution upsampled logits.  None = f32 (the
+    # reference semantics: torch CE/softmax run the full-res maps in f32).
+    # bfloat16 halves the HBM traffic of every full-res 19-channel tensor
+    # downstream — the resize write, the three adversarial softmax maps,
+    # the discriminator input (and its layout copies), the CE input and
+    # all their gradients (Config.logits_dtype, opt-in).
+    logits_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -80,5 +87,6 @@ class DeepLab(nn.Module):
                          dtype=self.dtype, name="decoder")(feat, low, bn_train)
         logits = resize_bilinear_align_corners(
             logits, x.shape[1:3],
-            dtype=jnp.promote_types(x.dtype, jnp.float32))
+            dtype=(self.logits_dtype if self.logits_dtype is not None
+                   else jnp.promote_types(x.dtype, jnp.float32)))
         return logits, feat

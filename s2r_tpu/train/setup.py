@@ -78,7 +78,10 @@ def build_method(cfg: Config, iters_per_epoch: int,
                              iters_per_epoch, cfg.lr_step, cfg.warmup_epochs)
     deeplab = DeepLab(backbone=cfg.backbone, output_stride=cfg.out_stride,
                       num_classes=cfg.num_classes, freeze_bn=cfg.freeze_bn,
-                      dtype=dtype, remat=cfg.remat, pad_stats=cfg.pad_stats)
+                      dtype=dtype, remat=cfg.remat, pad_stats=cfg.pad_stats,
+                      logits_dtype=(jnp.bfloat16
+                                    if getattr(cfg, "logits_dtype", "f32")
+                                    == "bf16" else None))
     eval_step = make_eval_step(deeplab, seg_loss_fn, cfg.num_classes)
     sample = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
 

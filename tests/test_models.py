@@ -57,6 +57,31 @@ def test_deeplab_full_forward():
     assert logits.dtype == jnp.float32
 
 
+def test_logits_dtype_bf16_step():
+    """Config.logits_dtype='bf16' (opt-in fast mode): the full-res logits
+    come out bf16, and a full output-adapt step runs finite.  Default
+    ('f32') keeps the reference's f32 map semantics
+    (test_deeplab_full_forward pins that)."""
+    from s2r_tpu.config import Config
+    from s2r_tpu.train.setup import build_method
+
+    cfg = Config(crop_size=64, base_size=64, batch_size=2, epochs=1,
+                 precision="bf16", logits_dtype="bf16")
+    m = build_method(cfg, 10, method="output_adapt")
+    st = m.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    b = {"src_image": jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32),
+         "src_label": jnp.asarray(rng.randint(0, 19, (2, 64, 64)),
+                                  jnp.int32),
+         "tgt_image": jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)}
+    st2, met = jax.jit(m.step_fn)(st, b)
+    assert all(np.isfinite(float(v)) for v in met.values())
+    pg, bs = m.eval_variables(st2)
+    logits, _ = m.deeplab.apply({"params": pg, "batch_stats": bs},
+                                b["src_image"], False)
+    assert logits.dtype == jnp.bfloat16
+
+
 def test_discriminator_shapes():
     # Mirrors discriminator.py:37-42.
     m = FCDiscriminator(num_classes=19)
