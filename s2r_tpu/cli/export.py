@@ -63,7 +63,8 @@ def main(argv=None):
     save_reference_checkpoint(args.out, params, bstats,
                               epoch=t.start_epoch, best_pred=t.best_pred,
                               output_stride=cfg.out_stride,
-                              schema=args.schema, domain=domain)
+                              schema=args.schema, domain=domain,
+                              backbone=cfg.backbone)
     print(f"exported {args.schema}-schema checkpoint to {args.out}")
 
 

@@ -82,6 +82,43 @@ def export_backbone(params: Dict, stats: Dict, output_stride: int = 16,
     return out
 
 
+def export_resnet(params: Dict, stats: Dict, prefix: str = "") -> Dict:
+    """ResNet backbone -> torchvision-layout state dict (the inverse of
+    torch_import.import_resnet): conv1/bn1 stem; layer{L}.{B}.{conv1..bn3,
+    downsample.0/.1}.  Block counts and downsample presence are read off
+    the param tree, so one exporter covers resnet50/101."""
+    out: Dict = {}
+    _conv(out, f"{prefix}conv1", params["conv1"])
+    _bn(out, f"{prefix}bn1", params["bn1"], stats["bn1"])
+    for name in sorted(k for k in params if k.startswith("layer")):
+        li, bi = name[5:].split("_")  # layer{L}_{B}
+        tk = f"{prefix}layer{li}.{bi}"
+        bp, bs = params[name], stats[name]
+        for sub in ("conv1", "conv2", "conv3"):
+            _conv(out, f"{tk}.{sub}", bp[sub])
+        for sub in ("bn1", "bn2", "bn3"):
+            _bn(out, f"{tk}.{sub}", bp[sub], bs[sub])
+        if "downsample_conv" in bp:
+            _conv(out, f"{tk}.downsample.0", bp["downsample_conv"])
+            _bn(out, f"{tk}.downsample.1", bp["downsample_bn"],
+                bs["downsample_bn"])
+    return out
+
+
+def export_any_backbone(backbone: str, params: Dict, stats: Dict,
+                        output_stride: int = 16, prefix: str = "") -> Dict:
+    """Dispatch to the right backbone exporter by factory name."""
+    if backbone == "mobilenet":
+        return export_backbone(params, stats, output_stride, prefix)
+    if backbone in ("resnet", "resnet101", "resnet50"):
+        return export_resnet(params, stats, prefix)
+    if backbone == "xception":
+        return export_xception(params, stats, prefix)
+    if backbone == "drn":
+        return export_drn(params, stats, prefix)
+    raise NotImplementedError(backbone)
+
+
 def _xception_block_specs():
     """(name, reps, has_skip) per XceptionBlock — the structural rules of
     models/xception.py (param structure is output_stride-independent:
@@ -208,12 +245,14 @@ def export_domain(params: Dict, stats: Dict, prefix: str = "") -> Dict:
 
 
 def export_deeplab(params: Dict, stats: Dict,
-                   output_stride: int = 16) -> Dict:
+                   output_stride: int = 16,
+                   backbone: str = "mobilenet") -> Dict:
     """Composite {'backbone','aspp','decoder'} trees -> single state dict
     with reference key names (train_adapt schema)."""
     out: Dict = {}
-    out.update(export_backbone(params["backbone"], stats["backbone"],
-                               output_stride, prefix="backbone."))
+    out.update(export_any_backbone(backbone, params["backbone"],
+                                   stats["backbone"], output_stride,
+                                   prefix="backbone."))
     out.update(export_aspp(params["aspp"], stats["aspp"], prefix="aspp."))
     out.update(export_decoder(params["decoder"], stats["decoder"],
                               prefix="decoder."))
@@ -224,24 +263,30 @@ def save_reference_checkpoint(path: str, params: Dict, stats: Dict,
                               epoch: int = 0, best_pred: float = 0.0,
                               output_stride: int = 16,
                               domain: Optional[Tuple[Dict, Dict]] = None,
-                              schema: str = "single") -> None:
+                              schema: str = "single",
+                              backbone: str = "mobilenet") -> None:
     """Write a reference-format .pth.tar.
 
     schema='single': train_adapt.py:204-209 layout.
     schema='four':   train.py:242-253 layout (stats trees keyed like the
                      feature-method TrainState: params/stats are the
                      composite G trees; `domain` supplies the d_model).
+    backbone: which exporter keys the backbone tree (the reference's own
+    modules are mobilenet-only; the other names use the canonical schemas
+    this module defines).
     """
     import torch
 
     if schema == "single":
-        ckpt = {"state_dict": export_deeplab(params, stats, output_stride),
+        ckpt = {"state_dict": export_deeplab(params, stats, output_stride,
+                                             backbone),
                 "optimizer": {}, "epoch": int(epoch),
                 "best_pred": float(best_pred)}
     elif schema == "four":
         ckpt = {
-            "backbone_model_state_dict": export_backbone(
-                params["backbone"], stats["backbone"], output_stride),
+            "backbone_model_state_dict": export_any_backbone(
+                backbone, params["backbone"], stats["backbone"],
+                output_stride),
             "assp_model_state_dict": export_aspp(params["aspp"],
                                                  stats["aspp"]),
             "y_model_state_dict": export_decoder(params["decoder"],

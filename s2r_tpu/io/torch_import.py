@@ -273,10 +273,12 @@ def import_discriminator(sd: Dict, prefix: str = "", order_sink=None,
     return b.params, b.stats
 
 
-def import_deeplab(sd: Dict, output_stride: int = 16) -> Tuple[Dict, Dict]:
+def import_deeplab(sd: Dict, output_stride: int = 16,
+                   backbone: str = "mobilenet") -> Tuple[Dict, Dict]:
     """Composite DeepLab state dict (train_adapt schema) -> (params,
     batch_stats) with top-level keys backbone/aspp/decoder."""
-    bp, bs = import_backbone(sd, output_stride, prefix="backbone.")
+    bp, bs = _backbone_importer(backbone)(sd, output_stride,
+                                          prefix="backbone.")
     ap, as_ = import_aspp(sd, prefix="aspp.")
     dp, ds = import_decoder(sd, prefix="decoder.")
     params = {"backbone": bp, "aspp": ap, "decoder": dp}
@@ -416,7 +418,29 @@ def merge_torch_opt_state(opt_imports: Dict, params, opt_state: Dict) -> Dict:
     return new_opt
 
 
-def import_reference_checkpoint(path: str, output_stride: int = 16) -> Dict:
+def _backbone_importer(backbone: str):
+    """Backbone-state-dict importer by factory name.  mobilenet is the
+    reference's own layout; resnet is torchvision; xception/drn use the
+    canonical schemas defined by torch_export."""
+    if backbone == "mobilenet":
+        return import_backbone
+    if backbone in ("resnet", "resnet101", "resnet50"):
+        depth = "resnet50" if backbone == "resnet50" else "resnet101"
+        def imp(sd, output_stride=16, prefix="", order_sink=None,
+                path_prefix=()):
+            return import_resnet(sd, depth, prefix, order_sink, path_prefix)
+        return imp
+    if backbone in ("xception", "drn"):
+        fn = import_xception if backbone == "xception" else import_drn
+        def imp(sd, output_stride=16, prefix="", order_sink=None,
+                path_prefix=()):
+            return fn(sd, prefix, order_sink, path_prefix)
+        return imp
+    raise NotImplementedError(backbone)
+
+
+def import_reference_checkpoint(path: str, output_stride: int = 16,
+                                backbone: str = "mobilenet") -> Dict:
     """Load a reference .pth.tar and return pytrees for whichever schema it
     holds:
       {'G': (params, stats), 'D': (params, stats) or None,
@@ -424,8 +448,13 @@ def import_reference_checkpoint(path: str, output_stride: int = 16) -> Dict:
        'opt': {name: import_optimizer_state result} for optimizer states
               present in the checkpoint (names match our opt_state keys:
               'G' for single schema; 'task'/'d'/'d_inv'/'c' for four)}
+
+    `backbone` keys the backbone sub-importer (the reference's own
+    checkpoints are mobilenet-only; the others accept checkpoints written
+    by torch_export / cli.export for those factory names).
     """
     import torch
+    import_backbone_fn = _backbone_importer(backbone)
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     out = {"epoch": int(ckpt.get("epoch", 0)),
            "best_pred": float(ckpt.get("best_pred", 0.0)),
@@ -437,8 +466,9 @@ def import_reference_checkpoint(path: str, output_stride: int = 16) -> Dict:
         # deeplab.py:42-72.
         order = []
         sd = ckpt["state_dict"]
-        bp, bs = import_backbone(sd, output_stride, prefix="backbone.",
-                                 order_sink=order, path_prefix=("backbone",))
+        bp, bs = import_backbone_fn(sd, output_stride, prefix="backbone.",
+                                    order_sink=order,
+                                    path_prefix=("backbone",))
         ap, as_ = import_aspp(sd, prefix="aspp.", order_sink=order,
                               path_prefix=("aspp",))
         dp, ds = import_decoder(sd, prefix="decoder.", order_sink=order,
@@ -454,9 +484,9 @@ def import_reference_checkpoint(path: str, output_stride: int = 16) -> Dict:
     else:
         out["schema"] = "four"
         b_order, a_order, y_order, d_order = [], [], [], []
-        bp, bs = import_backbone(ckpt["backbone_model_state_dict"],
-                                 output_stride, order_sink=b_order,
-                                 path_prefix=("backbone",))
+        bp, bs = import_backbone_fn(ckpt["backbone_model_state_dict"],
+                                    output_stride, order_sink=b_order,
+                                    path_prefix=("backbone",))
         ap, as_ = import_aspp(ckpt["assp_model_state_dict"],
                               order_sink=a_order, path_prefix=("aspp",))
         dp, ds = import_decoder(ckpt["y_model_state_dict"],

@@ -189,7 +189,8 @@ class Trainer:
             raise RuntimeError(f"=> no checkpoint found at '{path}'")
         cfg = self.cfg
         if path.endswith((".pth", ".pth.tar")):
-            imported = import_reference_checkpoint(path, cfg.out_stride)
+            imported = import_reference_checkpoint(path, cfg.out_stride,
+                                                   backbone=cfg.backbone)
             g_params, g_stats = imported["G"]
             params = dict(self.state.params)
             params["G"] = jax.tree.map(jnp.asarray, g_params)

@@ -42,6 +42,36 @@ def test_roundtrip_import_export(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("backbone", ["resnet50", "xception", "drn"])
+def test_roundtrip_other_backbones(tmp_path, backbone):
+    """Full export -> .pth.tar -> import cycle for the non-mobilenet
+    factory backbones (cli.export --backbone <name> parity; the reference
+    ships modules for none of these, so torch_export defines the schema
+    and torch_import is pinned as its exact inverse)."""
+    model = DeepLab(backbone=backbone, output_stride=16, num_classes=19)
+    x = jnp.zeros((1, 65, 65, 3))
+    vars_ = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(7)},
+                                       x, False))()
+    path = str(tmp_path / "ckpt.pth.tar")
+    te.save_reference_checkpoint(path, vars_["params"], vars_["batch_stats"],
+                                 epoch=3, best_pred=0.2, schema="single",
+                                 backbone=backbone)
+    imported = ti.import_reference_checkpoint(path, output_stride=16,
+                                              backbone=backbone)
+    assert imported["epoch"] == 3
+    p2, s2 = imported["G"]
+    for tree, tree2 in ((vars_["params"], p2), (vars_["batch_stats"], s2)):
+        a = {str(k): v for k, v
+             in jax.tree_util.tree_flatten_with_path(tree)[0]}
+        b = {str(k): v for k, v
+             in jax.tree_util.tree_flatten_with_path(tree2)[0]}
+        assert set(a) == set(b), sorted(set(a) ^ set(b))[:5]
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k], np.float32),
+                                          np.asarray(b[k], np.float32),
+                                          err_msg=k)
+
+
 def test_exported_checkpoint_runs_in_reference_modules(tmp_path):
     model, vars_ = _our_model_and_vars()
     path = str(tmp_path / "exported.pth.tar")
