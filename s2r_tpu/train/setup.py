@@ -82,7 +82,11 @@ def build_method(cfg: Config, iters_per_epoch: int,
                       logits_dtype=(jnp.bfloat16
                                     if getattr(cfg, "logits_dtype", "f32")
                                     == "bf16" else None))
-    eval_step = make_eval_step(deeplab, seg_loss_fn, cfg.num_classes)
+    # Eval always consumes f32 logits: --logits-dtype bf16 is a TRAIN-step
+    # bandwidth mode; validation/test numerics stay reference-exact.
+    eval_deeplab = (deeplab.clone(logits_dtype=None)
+                    if deeplab.logits_dtype is not None else deeplab)
+    eval_step = make_eval_step(eval_deeplab, seg_loss_fn, cfg.num_classes)
     sample = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
 
     if method == "output_adapt":

@@ -81,6 +81,17 @@ def test_logits_dtype_bf16_step():
                                 b["src_image"], False)
     assert logits.dtype == jnp.bfloat16
 
+    # eval stays reference-exact f32 regardless of the train-mode flag:
+    # identical eval_step outputs to the default-config method.
+    from dataclasses import replace
+    m32 = build_method(replace(cfg, logits_dtype="f32"), 10,
+                       method="output_adapt")
+    lbl = b["src_label"]
+    loss_b, cm_b, _ = jax.jit(m.eval_step)(pg, bs, b["src_image"], lbl)
+    loss_f, cm_f, _ = jax.jit(m32.eval_step)(pg, bs, b["src_image"], lbl)
+    np.testing.assert_array_equal(np.asarray(cm_b), np.asarray(cm_f))
+    np.testing.assert_allclose(float(loss_b), float(loss_f), rtol=0)
+
 
 def test_discriminator_shapes():
     # Mirrors discriminator.py:37-42.
