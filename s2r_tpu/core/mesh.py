@@ -110,7 +110,13 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     inserted by XLA automatically, so a full-resolution (e.g. 2048x1024)
     image can be evaluated across chips that it would not fit on — the
     analogue of sequence parallelism for this conv workload (SURVEY.md §5).
+
+    On a 2-D ('data', 'space') training mesh, H splits over BOTH axes —
+    otherwise each 'space' pair would hold a replica and eval could OOM on
+    images the train step fits (--spatial-shard x --eval-spatial-shard).
     """
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(None, (DATA_AXIS, SPACE_AXIS)))
     return NamedSharding(mesh, P(None, DATA_AXIS))
 
 

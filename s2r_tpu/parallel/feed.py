@@ -19,7 +19,7 @@ from jax.sharding import Mesh
 from s2r_tpu.core.mesh import leaf_sharding, put_global
 
 
-def _put(batch: Dict, mesh: Mesh):
+def _put(batch: Dict, shardings: Dict):
     out = {}
     for k, v in batch.items():
         if isinstance(v, (list, str)):
@@ -28,24 +28,26 @@ def _put(batch: Dict, mesh: Mesh):
             # multi-host aware: v is the per-host batch shard and the
             # result is the global batch array (core/mesh.py::put_global).
             # Per-leaf spec: N over 'data', H over 'space' on 2-D meshes.
-            out[k] = put_global(v, leaf_sharding(mesh, np.ndim(v)))
+            out[k] = put_global(v, shardings[np.ndim(v) >= 3])
     return out
 
 
 def prefetch_to_device(iterator: Iterable[Dict], mesh: Mesh,
                        size: int = 2) -> Iterator[Dict]:
     """Yield device-resident, batch-sharded batches with `size` in flight."""
+    # one NamedSharding per leaf-rank class, hoisted out of the hot loop
+    shardings = {True: leaf_sharding(mesh, 3), False: leaf_sharding(mesh, 1)}
     it = iter(iterator)
     buf = collections.deque()
     try:
         for _ in range(size):
-            buf.append(_put(next(it), mesh))
+            buf.append(_put(next(it), shardings))
     except StopIteration:
         pass
     while buf:
         out = buf.popleft()
         try:
-            buf.append(_put(next(it), mesh))
+            buf.append(_put(next(it), shardings))
         except StopIteration:
             pass
         yield out

@@ -38,7 +38,7 @@ from s2r_tpu.utils.summaries import TensorboardSummary
 
 
 def pick_num_devices(batch_size: int, requested: Optional[int],
-                     spatial: int = 1) -> int:
+                     spatial: int = 1, log: bool = True) -> int:
     """Largest device count <= available (and <= requested) dividing the
     batch.  Multi-host: the mesh must span every process's devices, so the
     global batch must divide evenly.  With `spatial > 1`, the batch only
@@ -54,7 +54,13 @@ def pick_num_devices(batch_size: int, requested: Optional[int],
         if avail % spatial:
             raise ValueError(f"--spatial-shard {spatial} must divide the "
                              f"device count ({avail})")
-        dp = pick_num_devices(batch_size, avail // spatial)
+        dp = pick_num_devices(batch_size, avail // spatial, log=False)
+        if log and dp * spatial < avail:
+            print(f"[s2r_tpu] using {dp * spatial}/{avail} devices "
+                  f"({dp} data x {spatial} spatial): batch_size "
+                  f"{batch_size} is not divisible by {avail // spatial} "
+                  f"rows (consider --batch-pad auto or a divisible batch)",
+                  flush=True)
         return dp * spatial
     avail = len(jax.devices())
     if jax.process_count() > 1:
@@ -66,7 +72,7 @@ def pick_num_devices(batch_size: int, requested: Optional[int],
     limit = min(avail, requested or avail)
     for d in range(limit, 0, -1):
         if batch_size % d == 0:
-            if d < limit:
+            if d < limit and log:
                 print(f"[s2r_tpu] using {d}/{limit} devices: batch_size "
                       f"{batch_size} is not divisible by {limit} "
                       f"(consider --batch-pad auto or a divisible batch)",
@@ -143,22 +149,13 @@ class Trainer:
         factory ships no modules for those names)."""
         import torch
 
-        from s2r_tpu.io.torch_import import (import_backbone, import_drn,
-                                             import_resnet, import_xception)
+        from s2r_tpu.io.torch_import import _backbone_importer
 
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if "state_dict" in sd:
             sd = sd["state_dict"]
-        if self.cfg.backbone == "mobilenet":
-            bp, bs = import_backbone(sd, self.cfg.out_stride)
-        elif self.cfg.backbone == "xception":
-            bp, bs = import_xception(sd)
-        elif self.cfg.backbone == "drn":
-            bp, bs = import_drn(sd)
-        else:
-            depth = "resnet50" if self.cfg.backbone == "resnet50" \
-                else "resnet101"
-            bp, bs = import_resnet(sd, depth)
+        bp, bs = _backbone_importer(self.cfg.backbone)(sd,
+                                                       self.cfg.out_stride)
         params = dict(self.state.params)
         params["G"] = {**params["G"], "backbone": jax.tree.map(jnp.asarray, bp)}
         if self.method.name == "output_adapt":
