@@ -80,6 +80,35 @@ def test_pick_num_devices_spatial():
         pick_num_devices(4, None, spatial=3)
 
 
+def test_spatial_sharded_feature_step_equals_single():
+    """The feature-adapt method (train.py path: domain classifier on the
+    ASPP feature map) under the 2-D data x space mesh — the low-resolution
+    feature tensors shard H across 'space' like the images do."""
+    cfg = Config(crop_size=HW, base_size=HW, epochs=2, batch_size=N,
+                 precision="f32", lr=0.01, pad_stats=False)
+    m = build_method(cfg, iters_per_epoch=10, method="feature_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    batch = {
+        "src_image": jnp.asarray(rng.randn(N, HW, HW, 3), jnp.float32),
+        "src_label": jnp.asarray(rng.randint(0, 19, (N, HW, HW)), jnp.int32),
+        "tgt_image": jnp.asarray(rng.randn(N, HW, HW, 3), jnp.float32),
+    }
+    step = jax.jit(m.step_fn)
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = make_mesh(8, spatial=2)
+    new_state, metrics = step(replicate(state, mesh),
+                              shard_batch(batch, mesh))
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(ref_state.batch_stats),
+                    jax.tree.leaves(new_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_spatial_shard_with_batch_pad(monkeypatch):
     """batch-pad x spatial-shard: an in-step-padded (pad_to=8) batch-4 step
     on a dp4 x sp2 mesh matches the same padded step on one device — the
