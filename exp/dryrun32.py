@@ -1,12 +1,13 @@
-"""32-virtual-device multichip dryrun artifact (VERDICT r2 item 8).
+"""N-virtual-device multichip dryrun artifact (VERDICT r2 item 8).
 
-Runs `__graft_entry__.dryrun_multichip(32)` — the FULL output-adapt train
-step jitted over a 32-device 16x2 data x spatial mesh (self-provisioned
-virtual CPU devices, same path the driver's multichip check uses) — and records the
-result as MULTICHIP_32dev.json so the "dryrun validates to 32 devices"
-claim has an in-tree artifact.
+Runs `__graft_entry__.dryrun_multichip(N)` — the FULL output-adapt train
+step jitted over an N-device (N/2)x2 data x spatial mesh (self-provisioned
+virtual CPU devices, same path the driver's multichip check uses) — and
+records the result as MULTICHIP_{N}dev.json so the "dryrun validates to N
+devices" claim has an in-tree artifact.  N defaults to 32; override with
+DRYRUN_N (MULTICHIP_64dev.json was produced with DRYRUN_N=64, a 32x2 mesh).
 
-Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python exp/dryrun32.py
+Usage:  PYTHONPATH=/root/repo:$PYTHONPATH [DRYRUN_N=64] python exp/dryrun32.py
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N = 32
+N = int(os.environ.get("DRYRUN_N", "32"))
 
 
 def main() -> None:
@@ -36,12 +37,12 @@ def main() -> None:
         "ok": err is None,
         "seconds": round(time.time() - t0, 1),
         "error": err,
-        "note": "full output_adapt train step, 32-device 16x2 data x "
-                "spatial mesh (batch N over 'data', image H over 'space' "
-                "with GSPMD conv halo exchanges), one step on tiny shapes "
-                "(virtual CPU devices)",
+        "note": f"full output_adapt train step, {N}-device {N // 2}x2 "
+                f"data x spatial mesh (batch N over 'data', image H over "
+                f"'space' with GSPMD conv halo exchanges), one step on "
+                f"tiny shapes (virtual CPU devices)",
     }
-    out = os.path.join(REPO, "MULTICHIP_32dev.json")
+    out = os.path.join(REPO, f"MULTICHIP_{N}dev.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec))
