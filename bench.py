@@ -361,6 +361,40 @@ def _bench_train_e2e_cached(args):
         "host_cores": os.cpu_count()}))
 
 
+def _require_tpu(timeout_s: float = 300.0):
+    """Fail fast (with a JSON record) when the axon tunnel is down.
+
+    Backend init on a healthy tunnel completes in seconds; during an
+    outage `jax.devices()` hangs ~12 min and then raises UNAVAILABLE
+    (CLAUDE.md).  Probing in a daemon thread bounds the wait so the
+    driver's bench record is an explicit error line, not a crash."""
+    import sys
+    import threading
+
+    result = {}
+
+    def _probe():
+        try:
+            import jax
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 - report any init failure
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return
+    err = result.get(
+        "error", f"backend init exceeded {timeout_s:.0f}s "
+                 "(axon tunnel down?)")
+    print(json.dumps({
+        "metric": "1024x512 train images/sec/chip (output-space adaption)",
+        "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+        "error": f"TPU unavailable: {err}"}))
+    sys.exit(1)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -379,6 +413,7 @@ def main():
                              "4 with the host input pipeline in the loop; "
                              "infer = config 1 (batch-1 513x513)")
     args = parser.parse_args()
+    _require_tpu()
     if args.mode == "infer":
         return _bench_infer(args)
     if args.mode == "eval_fullres":
