@@ -20,9 +20,11 @@ from s2r_tpu.config import Config
 from s2r_tpu.train.setup import build_method
 
 
-def bench(backbone, batch, h, w, remat=False, iters=8, method="output_adapt"):
+def bench(backbone, batch, h, w, remat=False, iters=8, method="output_adapt",
+          logits_dtype="f32", batch_pad="auto"):
     cfg = Config(crop_size=h, base_size=h, batch_size=batch, epochs=200,
-                 precision="bf16", backbone=backbone, remat=remat)
+                 precision="bf16", backbone=backbone, remat=remat,
+                 logits_dtype=logits_dtype, batch_pad=batch_pad)
     m = build_method(cfg, iters_per_epoch=1000, method=method)
     state = m.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
@@ -40,11 +42,12 @@ def bench(backbone, batch, h, w, remat=False, iters=8, method="output_adapt"):
             state, _ = step(state, b)
         jax.block_until_ready(state.params)
         dt = (time.perf_counter() - t0) / iters
-        print(f"{backbone:10s} {h}x{w} b{batch} remat={int(remat)}: "
+        print(f"{backbone:10s} {h}x{w} b{batch} remat={int(remat)} "
+              f"logits={logits_dtype}: "
               f"{dt*1e3:8.2f} ms {batch/dt:7.2f} img/s", flush=True)
     except Exception as e:
-        print(f"{backbone:10s} {h}x{w} b{batch} remat={int(remat)}: "
-              f"FAIL {str(e)[:160]}", flush=True)
+        print(f"{backbone:10s} {h}x{w} b{batch} remat={int(remat)} "
+              f"logits={logits_dtype}: FAIL {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

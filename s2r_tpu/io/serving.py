@@ -1,0 +1,140 @@
+"""AOT serving artifacts via jax.export (StableHLO).
+
+The reference's only deployment path is a torch checkpoint consumed by its
+own Python drivers (reference: train_adapt.py:139-156 saving, val_adapt.py
+loading).  The TPU-native deployment story is ahead-of-time: lower the
+jitted eval forward — weights baked in as constants — to a serialized
+StableHLO artifact that any JAX process (or an XLA-based server) can load
+and run WITHOUT the framework, the model code, or the checkpoint.
+
+    export_servable(deeplab, params, bstats, (1, 1024, 2048, 3), "m.shlo")
+    serve = load_servable("m.shlo")
+    labels = serve(images)          # re-traces nothing; compiles the
+                                    # embedded StableHLO for the local chip
+
+Artifact layout: a 16-byte header ``S2RSHLO1`` + u64 JSON-length, a JSON
+meta block (backbone, classes, input spec, output kind, preprocessing
+contract), then the ``jax.export`` serialization.  ``platforms`` defaults
+to both 'tpu' and 'cpu' so one artifact serves production chips and CPU
+smoke tests.
+
+Preprocessing contract: ``input="normalized"`` expects the eval-transform
+tensor ((x/255 - IMAGENET_MEAN) / IMAGENET_STD, f32 NHWC); ``input="rgb8"``
+bakes that normalization into the graph so servers feed raw RGB bytes —
+one less host-side pass over every frame, and the divide rides the same
+HBM read as the first conv.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+_MAGIC = b"S2RSHLO1"
+
+_OUTPUTS = ("labels", "logits", "probs")
+
+
+def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
+                    input: str = "normalized") -> Callable:
+    """Closure over the variables: image batch -> prediction.
+
+    output: 'labels' (argmax trainIds, int32), 'logits' (f32 [N,H,W,C]) or
+    'probs' (softmax f32).  input: 'normalized' | 'rgb8' (see module doc).
+    """
+    if output not in _OUTPUTS:
+        raise ValueError(f"output must be one of {_OUTPUTS}")
+    variables = {"params": params, "batch_stats": batch_stats}
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+
+    def fn(image):
+        if input == "rgb8":
+            image = (image.astype(jnp.float32) - mean) / std
+        logits, _ = deeplab.apply(variables, image, False)
+        logits = logits.astype(jnp.float32)
+        if output == "labels":
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if output == "probs":
+            return jax.nn.softmax(logits, axis=-1)
+        return logits
+
+    return fn
+
+
+def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
+                    path: str, *, output: str = "labels",
+                    input: str = "normalized",
+                    platforms: Sequence[str] = ("tpu", "cpu"),
+                    batch_polymorphic: bool = False,
+                    meta: Optional[dict] = None) -> dict:
+    """Serialize the eval forward (weights embedded) to `path`.
+
+    input_shape: [N, H, W, 3]; with batch_polymorphic=True the N is
+    exported as a symbolic dimension 'b' and the artifact accepts any
+    batch size (each new size compiles once at serve time — TPU serving
+    should still pick a fixed N, ideally a multiple of 8, see CLAUDE.md
+    batch-layout note).  Returns the meta dict written into the header.
+    """
+    fn = make_serving_fn(deeplab, params, batch_stats, output=output,
+                         input=input)
+    dtype = jnp.uint8 if input == "rgb8" else jnp.float32
+    if batch_polymorphic:
+        dims = ", ".join(str(d) for d in input_shape[1:])
+        spec = jax_export.symbolic_args_specs(
+            jax.ShapeDtypeStruct(tuple(input_shape), dtype), f"b, {dims}")[0]
+    else:
+        spec = jax.ShapeDtypeStruct(tuple(input_shape), dtype)
+    exported = jax_export.export(jax.jit(fn),
+                                 platforms=list(platforms))(spec)
+    blob = exported.serialize()
+    info = {"format": "jax.export", "output": output, "input": input,
+            "input_shape": list(input_shape),
+            "input_dtype": str(np.dtype(dtype)),
+            "batch_polymorphic": bool(batch_polymorphic),
+            "platforms": list(platforms),
+            "backbone": deeplab.backbone,
+            "output_stride": deeplab.output_stride,
+            "num_classes": deeplab.num_classes,
+            "normalization": ("baked-in (raw RGB8 in)" if input == "rgb8"
+                              else "(x/255 - IMAGENET_MEAN) / IMAGENET_STD")}
+    if meta:
+        info.update(meta)
+    payload = json.dumps(info).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(payload)))
+        f.write(payload)
+        f.write(blob)
+    return info
+
+
+@dataclasses.dataclass
+class Servable:
+    """A loaded serving artifact: `call(images)` runs on the local backend."""
+    meta: dict
+    exported: "jax_export.Exported"
+
+    def __call__(self, images):
+        return jax.jit(self.exported.call)(images)
+
+
+def load_servable(path: str) -> Servable:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an s2r_tpu serving artifact "
+                             f"(bad magic {magic!r})")
+        (n,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(n).decode())
+        blob = f.read()
+    return Servable(meta, jax_export.deserialize(blob))
