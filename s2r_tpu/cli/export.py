@@ -1,13 +1,22 @@
-"""Convert an s2r_tpu checkpoint to a reference-format torch .pth.tar.
+"""Convert an s2r_tpu checkpoint to a deployable artifact.
 
-Usage:
+Two formats:
+
+--format torch (default): reference-format .pth.tar.
     python -m s2r_tpu.cli.export --resume run/.../model_best.ckpt \
         --out exported.pth.tar [--schema single|four]
+  'single' matches train_adapt.py's checkpoint layout; 'four' matches
+  train.py's (feature-adaption checkpoints include the domain classifier).
+  The exported file strict-loads into the reference's torch modules
+  (tests/test_torch_export.py).
 
-'single' matches train_adapt.py's checkpoint layout; 'four' matches
-train.py's (feature-adaption checkpoints include the domain classifier).
-The exported file strict-loads into the reference's torch modules
-(tests/test_torch_export.py).
+--format servable: AOT StableHLO serving artifact (io/serving.py) — the
+  eval forward with weights baked in, loadable without model code or
+  checkpoint by any JAX/XLA process.
+    python -m s2r_tpu.cli.export --resume .../model_best.ckpt \
+        --format servable --out model.shlo \
+        [--serve-shape 8 1024 2048] [--serve-output labels] \
+        [--serve-input rgb8] [--serve-batch-poly]
 """
 
 from __future__ import annotations
@@ -23,11 +32,26 @@ def main(argv=None):
         description="export s2r_tpu checkpoint to reference torch format")
     add_common_flags(parser)
     parser.add_argument("--out", type=str, required=True)
+    parser.add_argument("--format", type=str, default="torch",
+                        choices=["torch", "servable"])
     parser.add_argument("--schema", type=str, default="single",
                         choices=["single", "four"])
     parser.add_argument("--method", type=str, default="output_adapt",
                         choices=["output_adapt", "feature_adapt",
                                  "source_only"])
+    parser.add_argument("--serve-shape", type=int, nargs=3,
+                        default=[1, 1024, 2048], metavar=("N", "H", "W"),
+                        help="servable input shape (default full-res "
+                             "Cityscapes eval, batch 1; TPU serving should "
+                             "prefer N a multiple of 8)")
+    parser.add_argument("--serve-output", type=str, default="labels",
+                        choices=["labels", "logits", "probs"])
+    parser.add_argument("--serve-input", type=str, default="normalized",
+                        choices=["normalized", "rgb8"])
+    parser.add_argument("--serve-batch-poly", action="store_true",
+                        help="export the batch dim as symbolic")
+    parser.add_argument("--serve-platforms", type=str, nargs="+",
+                        default=["tpu", "cpu"])
     args = parser.parse_args(argv)
     apply_platform_override()
     cfg = config_from_args(args)
@@ -55,6 +79,24 @@ def main(argv=None):
     t.mesh = make_mesh(1)
     t._resume(cfg.resume)
     params, bstats = m.eval_variables(t.state)
+
+    if args.format == "servable":
+        from s2r_tpu.io.serving import export_servable
+
+        # serve with the f32-logits eval clone, matching the eval path
+        deeplab = (m.deeplab.clone(logits_dtype=None)
+                   if m.deeplab.logits_dtype is not None else m.deeplab)
+        n, h, w = args.serve_shape
+        info = export_servable(
+            deeplab, params, bstats, (n, h, w, 3), args.out,
+            output=args.serve_output, input=args.serve_input,
+            platforms=args.serve_platforms,
+            batch_polymorphic=args.serve_batch_poly,
+            meta={"epoch": t.start_epoch, "best_pred": float(t.best_pred)})
+        print(f"exported servable ({info['output']}, {info['input']}, "
+              f"shape {info['input_shape']}, platforms "
+              f"{info['platforms']}) to {args.out}")
+        return
 
     domain = None
     if args.schema == "four" and m.name != "output_adapt":

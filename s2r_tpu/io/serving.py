@@ -89,9 +89,10 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
                          input=input)
     dtype = jnp.uint8 if input == "rgb8" else jnp.float32
     if batch_polymorphic:
-        dims = ", ".join(str(d) for d in input_shape[1:])
+        # '_' placeholders take the concrete trailing dims from input_shape
         spec = jax_export.symbolic_args_specs(
-            jax.ShapeDtypeStruct(tuple(input_shape), dtype), f"b, {dims}")[0]
+            jax.ShapeDtypeStruct(tuple(input_shape), dtype),
+            "b, " + ", ".join("_" for _ in input_shape[1:]))
     else:
         spec = jax.ShapeDtypeStruct(tuple(input_shape), dtype)
     exported = jax_export.export(jax.jit(fn),

@@ -1,0 +1,193 @@
+"""AOT serving artifacts (io/serving.py): export -> load -> run round-trip.
+
+The reference has no deployment path beyond torch checkpoints consumed by
+its own drivers (reference: val_adapt.py loading train_adapt.py's saves);
+the servable artifact is the TPU-native beyond-parity answer.  These tests
+pin the contract: the loaded StableHLO artifact reproduces the JITTED
+in-framework eval forward bit-for-bit on the same backend, for every output
+kind, for the raw-RGB8 ingest path, and under batch polymorphism.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from s2r_tpu.io.serving import (Servable, export_servable, load_servable,
+                                make_serving_fn)
+from s2r_tpu.models import DeepLab
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = DeepLab(output_stride=16, num_classes=19)
+    x = jnp.zeros((1, 65, 65, 3))
+    vars_ = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, False))()
+    return model, vars_["params"], vars_["batch_stats"]
+
+
+def _images(n=2, h=65, w=65, seed=0):
+    return np.random.RandomState(seed).rand(n, h, w, 3).astype(np.float32)
+
+
+def test_roundtrip_matches_direct_apply(tmp_path, small_model):
+    model, params, bstats = small_model
+    path = str(tmp_path / "m.shlo")
+    info = export_servable(model, params, bstats, (2, 65, 65, 3), path,
+                           output="logits")
+    assert info["backbone"] == "mobilenet" and info["num_classes"] == 19
+
+    serve = load_servable(path)
+    assert serve.meta["input_shape"] == [2, 65, 65, 3]
+    x = _images()
+    got = np.asarray(serve(jnp.asarray(x)))
+    # bit-exact vs the jitted weights-as-constants closure — the exact
+    # program that was exported (jitting apply with weights as *arguments*
+    # fuses differently and is only ~1e-5 close)
+    want = jax.jit(make_serving_fn(model, params, bstats, output="logits"))(
+        jnp.asarray(x))
+    np.testing.assert_array_equal(got, np.asarray(want, np.float32))
+    # and ~float-noise close to the in-framework eval forward
+    direct, _ = model.apply({"params": params, "batch_stats": bstats},
+                            jnp.asarray(x), False)
+    np.testing.assert_allclose(got, np.asarray(direct, np.float32),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("output", ["labels", "probs"])
+def test_output_kinds(tmp_path, small_model, output):
+    model, params, bstats = small_model
+    path = str(tmp_path / f"{output}.shlo")
+    export_servable(model, params, bstats, (1, 65, 65, 3), path,
+                    output=output)
+    serve = load_servable(path)
+    x = _images(n=1, seed=3)
+    got = np.asarray(serve(jnp.asarray(x)))
+    want = jax.jit(make_serving_fn(model, params, bstats, output=output))(
+        jnp.asarray(x))
+    np.testing.assert_array_equal(got, np.asarray(want))
+    if output == "labels":
+        assert got.dtype == np.int32 and got.shape == (1, 65, 65)
+        assert got.max() < 19
+    else:
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_rgb8_ingest_bakes_normalization(tmp_path, small_model):
+    """input='rgb8' accepts raw uint8 frames and matches feeding the
+    eval-transform-normalized tensor to a 'normalized' artifact."""
+    model, params, bstats = small_model
+    path = str(tmp_path / "rgb8.shlo")
+    info = export_servable(model, params, bstats, (1, 65, 65, 3), path,
+                           output="logits", input="rgb8")
+    assert info["input_dtype"] == "uint8"
+    serve = load_servable(path)
+
+    raw = np.random.RandomState(1).randint(0, 256, (1, 65, 65, 3), np.uint8)
+    got = np.asarray(serve(jnp.asarray(raw)))
+
+    # in-graph normalization is (x - 255*mean) / (255*std) — algebraically
+    # equal to the host transform but rounded differently, hence tolerance
+    normalized = ((raw.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                  / IMAGENET_STD).astype(np.float32)
+    want, _ = jax.jit(model.apply, static_argnums=2)(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(normalized),
+        False)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_batch_polymorphic(tmp_path, small_model):
+    model, params, bstats = small_model
+    path = str(tmp_path / "poly.shlo")
+    info = export_servable(model, params, bstats, (1, 65, 65, 3), path,
+                           batch_polymorphic=True)
+    assert info["batch_polymorphic"] is True
+    serve = load_servable(path)
+    for n in (1, 3):
+        got = np.asarray(serve(jnp.asarray(_images(n=n, seed=n))))
+        assert got.shape == (n, 65, 65)
+
+
+def test_cli_export_servable_end_to_end(tmp_path):
+    """cli.export --format servable: native checkpoint -> .shlo -> load ->
+    predictions match the framework eval forward on the same frames."""
+    from s2r_tpu.cli import export as export_cli
+    from s2r_tpu.config import Config
+    from s2r_tpu.io.checkpoint import save_checkpoint
+    from s2r_tpu.train.setup import build_method
+
+    cfg = Config(dataset="synthetic", crop_size=64, base_size=64,
+                 batch_size=2, precision="f32")  # match --precision f32
+    m = build_method(cfg, iters_per_epoch=1, method="output_adapt")
+    state = m.init_state(jax.random.PRNGKey(11))
+    ckpt = str(tmp_path / "model_best.ckpt")
+    save_checkpoint(ckpt, state, epoch=4, best_pred=0.42)
+
+    out = str(tmp_path / "model.shlo")
+    export_cli.main(["--resume", ckpt, "--out", out, "--format", "servable",
+                     "--serve-shape", "2", "64", "64",
+                     "--serve-output", "logits", "--precision", "f32"])
+    serve = load_servable(out)
+    assert serve.meta["epoch"] == 4
+    assert abs(serve.meta["best_pred"] - 0.42) < 1e-9
+
+    x = _images(h=64, w=64, seed=9)
+    got = np.asarray(serve(jnp.asarray(x)))
+    params, bstats = m.eval_variables(state)
+    logits, _ = jax.jit(m.deeplab.apply, static_argnums=2)(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(x), False)
+    # weights-as-constants vs weights-as-arguments fuse differently, so
+    # float-noise tolerance (random-init logits are near-uniform; argmax
+    # would be tie-flippy here, hence the logits comparison)
+    np.testing.assert_allclose(got, np.asarray(logits, np.float32),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_cli_infer_sweeps_directory(tmp_path, small_model):
+    """cli.infer: .shlo + a directory of raw frames -> labelId/color PNGs,
+    including the padded tail batch (3 frames through a batch-2 artifact)."""
+    from PIL import Image
+
+    from s2r_tpu.cli import infer as infer_cli
+
+    model, params, bstats = small_model
+    shlo = str(tmp_path / "m.shlo")
+    export_servable(model, params, bstats, (2, 64, 64, 3), shlo,
+                    output="labels", input="rgb8")
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 256, (80, 96, 3), np.uint8)).save(
+            frames / f"frame_{i}.png")
+
+    out = tmp_path / "result"
+    done = infer_cli.main(["--servable", shlo, "--images", str(frames),
+                           "--out-dir", str(out)])
+    assert done == 3
+    for i in range(3):
+        assert (out / f"frame_{i}_labelId.png").exists()
+        assert (out / f"frame_{i}_color.png").exists()
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "junk.shlo"
+    p.write_bytes(b"NOTANART" + b"\0" * 64)
+    with pytest.raises(ValueError, match="bad magic"):
+        load_servable(str(p))
+
+
+def test_meta_passthrough_and_repr(tmp_path, small_model):
+    model, params, bstats = small_model
+    path = str(tmp_path / "meta.shlo")
+    info = export_servable(model, params, bstats, (1, 65, 65, 3), path,
+                           meta={"experiment": "exp_7", "epoch": 12})
+    assert info["experiment"] == "exp_7"
+    serve = load_servable(path)
+    assert serve.meta["epoch"] == 12
+    assert isinstance(serve, Servable)
