@@ -51,7 +51,10 @@ def main(argv=None):
     parser.add_argument("--serve-batch-poly", action="store_true",
                         help="export the batch dim as symbolic")
     parser.add_argument("--serve-platforms", type=str, nargs="+",
-                        default=["tpu", "cpu"])
+                        default=None,
+                        help="lowering targets; default = current backend "
+                             "only (a multi-platform artifact measures "
+                             "+50%% latency on-chip — exp/serve_bench.py)")
     args = parser.parse_args(argv)
     apply_platform_override()
     cfg = config_from_args(args)

@@ -15,8 +15,8 @@ and run WITHOUT the framework, the model code, or the checkpoint.
 Artifact layout: a 16-byte header ``S2RSHLO1`` + u64 JSON-length, a JSON
 meta block (backbone, classes, input spec, output kind, preprocessing
 contract), then the ``jax.export`` serialization.  ``platforms`` defaults
-to both 'tpu' and 'cpu' so one artifact serves production chips and CPU
-smoke tests.
+to the current backend — multi-platform artifacts work but measure +50%
+latency on-chip (the platform branch blocks fusion; exp/serve_bench.py).
 
 Preprocessing contract: ``input="normalized"`` expects the eval-transform
 tensor ((x/255 - IMAGENET_MEAN) / IMAGENET_STD, f32 NHWC); ``input="rgb8"``
@@ -74,7 +74,7 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
 def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
                     path: str, *, output: str = "labels",
                     input: str = "normalized",
-                    platforms: Sequence[str] = ("tpu", "cpu"),
+                    platforms: Optional[Sequence[str]] = None,
                     batch_polymorphic: bool = False,
                     meta: Optional[dict] = None) -> dict:
     """Serialize the eval forward (weights embedded) to `path`.
@@ -84,7 +84,16 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
     batch size (each new size compiles once at serve time — TPU serving
     should still pick a fixed N, ideally a multiple of 8, see CLAUDE.md
     batch-layout note).  Returns the meta dict written into the header.
+
+    platforms: None (default) targets the CURRENT backend only.  A
+    multi-platform artifact (e.g. ("tpu", "cpu")) is portable but pays a
+    real price on-chip: the platform-index branching blocks cross-op
+    fusion, measured +50% latency for the full-res mobilenet servable on
+    v5e (22.4 vs 15.0 ms/image — exp/serve_bench.py).  Export per
+    platform unless portability is worth that.
     """
+    if platforms is None:
+        platforms = [jax.default_backend()]
     fn = make_serving_fn(deeplab, params, batch_stats, output=output,
                          input=input)
     dtype = jnp.uint8 if input == "rgb8" else jnp.float32
