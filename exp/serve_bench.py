@@ -87,18 +87,30 @@ def main():
     image = jax.device_put(host)
 
     def time_call(call, tag):
+        # Thread the output back into the carry: without this XLA may hoist
+        # the loop-invariant call out of the while loop and compute it ONCE
+        # (observed: an un-threaded eval chain "measured" 0.66 ms/img).
         def chain(img):
             def body(carry, _):
-                return carry, call(carry)
-            _, ys = lax.scan(body, img, None, length=args.iters)
-            return ys[-1]
+                out = call(carry)
+                bump = out.ravel()[0].astype(jnp.float32) * jnp.float32(
+                    1e-30)
+                if carry.dtype == jnp.uint8:
+                    carry = carry + bump.astype(jnp.uint8)  # runtime 0
+                else:
+                    carry = carry + bump.astype(carry.dtype)
+                return carry, ()
+            c, _ = lax.scan(body, img, None, length=args.iters)
+            # slice ON DEVICE: reading the full carry back through the
+            # tunnel (~30 MB/s) would dominate the measurement
+            return c[0, 0, 0, :]
 
         run = jax.jit(chain)
         out = run(image)
-        _ = np.asarray(out).ravel()[:4]  # compile + settle, forced readback
+        _ = np.asarray(out)  # compile + settle, forced readback
         t0 = time.perf_counter()
         out = run(image)
-        _ = np.asarray(out).ravel()[:4]
+        _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{tag} {args.backbone} {h}x{w} b{n} {args.input}->"
               f"{args.output} [{args.precision}]: "
@@ -127,15 +139,18 @@ def main():
         def time_args_fn():
             def chain(variables, img):
                 def body(carry, _):
-                    return carry, args_fn(variables, carry)
-                _, ys = lax.scan(body, img, None, length=args.iters)
-                return ys[-1]
+                    out = args_fn(variables, carry)
+                    bump = (out.ravel()[0].astype(jnp.float32)
+                            * jnp.float32(1e-30))
+                    return carry + bump.astype(carry.dtype), ()
+                c, _ = lax.scan(body, img, None, length=args.iters)
+                return c[0, 0, 0, :]
             run = jax.jit(chain)
             out = run(v, image)
-            _ = np.asarray(out).ravel()[:4]
+            _ = np.asarray(out)
             t0 = time.perf_counter()
             out = run(v, image)
-            _ = np.asarray(out).ravel()[:4]
+            _ = np.asarray(out)
             dt = (time.perf_counter() - t0) / args.iters
             print(f"weights-as-args {args.backbone} {h}x{w} b{n}: "
                   f"{1e3 * dt / n:.2f} ms/image ({n / dt:.1f} img/s/chip)")

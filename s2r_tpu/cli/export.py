@@ -53,8 +53,8 @@ def main(argv=None):
     parser.add_argument("--serve-platforms", type=str, nargs="+",
                         default=None,
                         help="lowering targets; default = current backend "
-                             "only (a multi-platform artifact measures "
-                             "+50%% latency on-chip — exp/serve_bench.py)")
+                             "only (multi-platform is on-device neutral, "
+                             "just a bigger artifact — exp/serve_bench.py)")
     args = parser.parse_args(argv)
     apply_platform_override()
     cfg = config_from_args(args)

@@ -15,8 +15,8 @@ and run WITHOUT the framework, the model code, or the checkpoint.
 Artifact layout: a 16-byte header ``S2RSHLO1`` + u64 JSON-length, a JSON
 meta block (backbone, classes, input spec, output kind, preprocessing
 contract), then the ``jax.export`` serialization.  ``platforms`` defaults
-to the current backend — multi-platform artifacts work but measure +50%
-latency on-chip (the platform branch blocks fusion; exp/serve_bench.py).
+to the current backend; pass e.g. ("tpu", "cpu") for a portable artifact
+(measured on-device-neutral on v5e — exp/serve_bench.py).
 
 Preprocessing contract: ``input="normalized"`` expects the eval-transform
 tensor ((x/255 - IMAGENET_MEAN) / IMAGENET_STD, f32 NHWC); ``input="rgb8"``
@@ -85,12 +85,12 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
     should still pick a fixed N, ideally a multiple of 8, see CLAUDE.md
     batch-layout note).  Returns the meta dict written into the header.
 
-    platforms: None (default) targets the CURRENT backend only.  A
-    multi-platform artifact (e.g. ("tpu", "cpu")) is portable but pays a
-    real price on-chip: the platform-index branching blocks cross-op
-    fusion, measured +50% latency for the full-res mobilenet servable on
-    v5e (22.4 vs 15.0 ms/image — exp/serve_bench.py).  Export per
-    platform unless portability is worth that.
+    platforms: None (default) targets the CURRENT backend only; pass
+    e.g. ("tpu", "cpu") for a portable artifact.  Measured on v5e: the
+    multi-platform lowering is on-device NEUTRAL (8.48 vs 8.45 ms/image
+    full-res b8 — exp/serve_bench.py), so portability costs only
+    artifact size; the current-backend default just keeps single-target
+    deploys lean.
     """
     if platforms is None:
         platforms = [jax.default_backend()]
