@@ -113,6 +113,53 @@ def _bench_eval_fullres(args):
         "vs_baseline": None}))
 
 
+def _bench_serve_fullres(args):
+    """Deployment path: the exported StableHLO servable (weights baked in,
+    rgb8 in -> labels out) at full-res 2048x1024, batch 8.  Scan chain with
+    the output threaded into the carry + on-device output slice (the two
+    axon timing traps — see CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from s2r_tpu.core.precision import Policy
+    from s2r_tpu.io.serving import export_servable, load_servable
+    from s2r_tpu.models import DeepLab
+
+    n, h, w = (args.batch_size or 8), 1024, 2048
+    model = DeepLab(output_stride=16, num_classes=19,
+                    dtype=Policy.from_name(args.precision).compute_dtype)
+    x0 = jnp.zeros((1, 129, 129, 3), jnp.float32)
+    v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x0,
+                                   False))()
+    path = "/tmp/bench_serve.shlo"
+    export_servable(model, v["params"], v["batch_stats"], (n, h, w, 3),
+                    path, output="labels", input="rgb8")
+    serve = load_servable(path)
+
+    image = jax.device_put(np.random.RandomState(0).randint(
+        0, 256, (n, h, w, 3), np.uint8))
+    iters = 5 if args.quick else 20
+
+    def chain(img):
+        def body(carry, _):
+            lab = serve.exported.call(carry)
+            bump = lab.ravel()[0].astype(jnp.float32) * jnp.float32(1e-30)
+            return carry + bump.astype(carry.dtype), ()
+        c, _ = lax.scan(body, img, None, length=iters)
+        return c[0, 0, 0, :]
+
+    run = jax.jit(chain)
+    _ = np.asarray(run(image))  # compile + settle
+    t0 = time.perf_counter()
+    _ = np.asarray(run(image))
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "2048x1024 servable (rgb8->labels) ms/image",
+        "value": round(dt * 1e3 / n, 2), "unit": "ms/image",
+        "vs_baseline": None}))
+
+
 def _bench_train_source(args):
     """BASELINE config 2: source-only supervised step, batch 4 @513x513."""
     import jax
@@ -406,7 +453,7 @@ def main():
                         choices=["train_adapt", "train_source",
                                  "train_feature", "train_e2e",
                                  "train_e2e_cached", "infer",
-                                 "eval_fullres"],
+                                 "eval_fullres", "serve_fullres"],
                         help="train_adapt = BASELINE config 4 (the tracked "
                              "metric); train_source = config 2; "
                              "train_feature = config 3; train_e2e = config "
@@ -418,6 +465,8 @@ def main():
         return _bench_infer(args)
     if args.mode == "eval_fullres":
         return _bench_eval_fullres(args)
+    if args.mode == "serve_fullres":
+        return _bench_serve_fullres(args)
     if args.mode == "train_source":
         return _bench_train_source(args)
     if args.mode == "train_feature":

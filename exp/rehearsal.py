@@ -13,7 +13,9 @@ reference command lines end-to-end on the TPU:
   2. val_adapt full-resolution sweep with per-image labelId + color PNG
      export and val_info.txt
   3. test_adapt label-free sweep
-  4. checkpoint export back to the reference torch schema + strict-load
+  4. servable export (--format servable, rgb8 ingest) + cli.infer sweep
+     over the native-res test frames — the framework-free deployment path
+  5. checkpoint export back to the reference torch schema + strict-load
      into the actual reference modules
 
 so day-one of real data landing is a rerun of this script with different
@@ -167,7 +169,19 @@ def main():
               "--checkname", "rehearsal_test",
               "--out-dir", os.path.join(args.run_root, "result")], log)
 
-    # 4) export to the reference torch schema + strict-load parity
+    # 4) deployment: servable export + framework-free inference sweep over
+    #    the native-resolution test frames (the serving path's day-one run)
+    shlo = os.path.join(args.run_root, "rehearsal.shlo")
+    serve_n = "2" if args.quick else "4"
+    run(py + ["s2r_tpu.cli.export", "--resume", ckpt, "--format",
+              "servable", "--out", shlo, "--serve-shape", serve_n,
+              "1024", "2048", "--serve-input", "rgb8"], log)
+    run(py + ["s2r_tpu.cli.infer", "--servable", shlo,
+              "--images", dirs["CItyscapes/test_img"],
+              "--out-dir", os.path.join(args.run_root, "result_servable")],
+        log)
+
+    # 5) export to the reference torch schema + strict-load parity
     exported = os.path.join(args.run_root, "rehearsal_export.pth.tar")
     run(py + ["s2r_tpu.cli.export", "--resume", ckpt, "--out", exported,
               "--method", "output_adapt"], log)
