@@ -130,12 +130,18 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
 
 @dataclasses.dataclass
 class Servable:
-    """A loaded serving artifact: `call(images)` runs on the local backend."""
+    """A loaded serving artifact: `serve(images)` runs on the local backend."""
     meta: dict
     exported: "jax_export.Exported"
 
+    def __post_init__(self):
+        # jit ONCE: jax.jit keys its cache on function identity, and
+        # `self.exported.call` is a fresh bound method per access — jitting
+        # inside __call__ would re-trace on every request
+        self._jitted = jax.jit(self.exported.call)
+
     def __call__(self, images):
-        return jax.jit(self.exported.call)(images)
+        return self._jitted(images)
 
 
 def load_servable(path: str) -> Servable:

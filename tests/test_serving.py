@@ -182,6 +182,48 @@ def test_bad_magic_rejected(tmp_path):
         load_servable(str(p))
 
 
+def test_servable_preserves_trained_miou(tmp_path):
+    """End-to-end accuracy through the deployment path: the committed
+    convergence checkpoint (run/synthetic/conv-reval, held-out mIoU ~0.81,
+    PARITY.md) is exported as a servable and swept over the same held-out
+    synthetic val set — the artifact must reproduce the framework eval's
+    mIoU, not just random-weight logit parity."""
+    from s2r_tpu.config import Config
+    from s2r_tpu.data.loader import make_data_loader
+    from s2r_tpu.eval.metrics import Evaluator
+    from s2r_tpu.io.checkpoint import load_checkpoint
+    from s2r_tpu.train.setup import build_method
+
+    cfg = Config(dataset="synthetic", crop_size=128, base_size=128,
+                 batch_size=4)
+    m = build_method(cfg, iters_per_epoch=1, method="output_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    payload = load_checkpoint("run/synthetic/conv-reval/model_best.ckpt",
+                              state)
+    state = payload["state"]
+    params, bstats = m.eval_variables(state)
+
+    shlo = str(tmp_path / "trained.shlo")
+    eval_deeplab = (m.deeplab.clone(logits_dtype=None)
+                    if m.deeplab.logits_dtype is not None else m.deeplab)
+    export_servable(eval_deeplab, params, bstats, (4, 128, 128, 3), shlo)
+    serve = load_servable(shlo)
+
+    _, val_loader, _, nclass = make_data_loader(cfg)
+    ev_frame, ev_serve = Evaluator(nclass), Evaluator(nclass)
+    eval_step = jax.jit(m.eval_step)
+    for batch in val_loader:
+        image = jnp.asarray(batch["image"])
+        label = jnp.asarray(batch["label"])
+        _, cm, _ = eval_step(params, bstats, image, label)
+        ev_frame.merge(cm)
+        ev_serve.add_batch(label, serve(image))
+    miou_frame, _ = ev_frame.Mean_Intersection_over_Union()
+    miou_serve, _ = ev_serve.Mean_Intersection_over_Union()
+    assert miou_frame > 0.75, miou_frame  # the checkpoint really converged
+    assert abs(miou_frame - miou_serve) < 5e-3, (miou_frame, miou_serve)
+
+
 def test_meta_passthrough_and_repr(tmp_path, small_model):
     model, params, bstats = small_model
     path = str(tmp_path / "meta.shlo")
