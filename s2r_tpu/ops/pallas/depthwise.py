@@ -138,7 +138,7 @@ def _dw_forward(x, kernel, dilation, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, 3, c), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
