@@ -7,7 +7,7 @@ methodology behind the PARITY.md §Performance device-profile tables.
 Usage:
     PYTHONPATH=/root/repo:$PYTHONPATH python exp/profile_step.py [config]
 configs: mobilenet_b8 (default) | resnet101_b4 | resnet101_b8 |
-         xception_b8 | drn_b8 | feature_b8 | eval_fullres
+         xception_b8 | drn_b8 | feature_b8 | eval_fullres | serve_fullres
 """
 
 from __future__ import annotations
@@ -52,7 +52,27 @@ CONFIGS = {
     "drn_b8": dict(backbone="drn", batch=8, method="output_adapt"),
     "feature_b8": dict(backbone="mobilenet", batch=8, method="feature_adapt"),
     "eval_fullres": dict(backbone="mobilenet", batch=1, method="eval"),
+    "serve_fullres": dict(backbone="mobilenet", batch=8, method="serve"),
 }
+
+
+def _serving_fn_and_input(c):
+    """The deployment-path closure: rgb8 -> labels, weights as constants
+    (exactly what cli.export --format servable bakes into the artifact)."""
+    from s2r_tpu.io.serving import make_serving_fn
+
+    cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
+                 precision="bf16", backbone=c["backbone"])
+    m = build_method(cfg, 1000, method="output_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    params, bstats = m.eval_variables(state)
+    eval_deeplab = (m.deeplab.clone(logits_dtype=None)
+                    if m.deeplab.logits_dtype is not None else m.deeplab)
+    sfn = make_serving_fn(eval_deeplab, params, bstats, output="labels",
+                          input="rgb8")
+    img = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (c["batch"], 1024, 2048, 3), np.uint8))
+    return sfn, img
 
 
 def build(name):
@@ -61,6 +81,14 @@ def build(name):
     cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
                  precision="bf16", backbone=c["backbone"],
                  out_stride=out_stride)
+    if c["method"] == "serve":
+        sfn, img = _serving_fn_and_input(c)
+        fn = jax.jit(sfn)
+
+        def run_one(carry):
+            jax.block_until_ready(fn(img))
+            return carry
+        return run_one, None
     if c["method"] == "eval":
         m = build_method(cfg, 1000, method="output_adapt")
         state = m.init_state(jax.random.PRNGKey(0))
@@ -168,7 +196,10 @@ def cost(name, dev_ms=None):
     cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
                  precision="bf16", backbone=c["backbone"],
                  out_stride=out_stride)
-    if c["method"] == "eval":
+    if c["method"] == "serve":
+        sfn, img = _serving_fn_and_input(c)
+        lowered = jax.jit(sfn).lower(img)
+    elif c["method"] == "eval":
         m = build_method(cfg, 1000, method="output_adapt")
         state = m.init_state(jax.random.PRNGKey(0))
         params, bstats = m.eval_variables(state)
