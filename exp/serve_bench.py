@@ -33,6 +33,10 @@ def main():
                     choices=["rgb8", "normalized"])
     ap.add_argument("--output", type=str, default="labels",
                     choices=["labels", "logits", "probs"])
+    ap.add_argument("--argmax", type=str, default="full",
+                    choices=["full", "decoder"],
+                    help="labels only: 'decoder' = fast mode (argmax at "
+                         "stride-4 res, nearest label upsample)")
     ap.add_argument("--precision", type=str, default="bf16")
     ap.add_argument("--backbone", type=str, default="mobilenet")
     ap.add_argument("--platforms", type=str, nargs="+", default=None,
@@ -62,7 +66,7 @@ def main():
     t0 = time.time()
     export_servable(model, v["params"], v["batch_stats"], (n, h, w, 3),
                     path, output=args.output, input=args.input,
-                    platforms=args.platforms)
+                    argmax_res=args.argmax, platforms=args.platforms)
     print(f"export: {time.time() - t0:.1f}s")
     serve = load_servable(path)
 
@@ -112,8 +116,9 @@ def main():
         out = run(image)
         _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / args.iters
+        amax = "(argmax@decoder)" if args.argmax == "decoder" else ""
         print(f"{tag} {args.backbone} {h}x{w} b{n} {args.input}->"
-              f"{args.output} [{args.precision}]: "
+              f"{args.output}{amax} [{args.precision}]: "
               f"{1e3 * dt / n:.2f} ms/image on-device "
               f"({n / dt:.1f} img/s/chip)")
 
@@ -121,7 +126,8 @@ def main():
     if args.direct:
         from s2r_tpu.io.serving import make_serving_fn
         time_call(make_serving_fn(model, v["params"], v["batch_stats"],
-                                  output=args.output, input=args.input),
+                                  output=args.output, input=args.input,
+                                  argmax_res=args.argmax),
                   "direct-jit")
         # weights as ARGUMENTS (the eval-step formulation) — isolates the
         # cost of baking weights in as HLO constants

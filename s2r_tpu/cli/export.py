@@ -48,6 +48,14 @@ def main(argv=None):
                         choices=["labels", "logits", "probs"])
     parser.add_argument("--serve-input", type=str, default="normalized",
                         choices=["normalized", "rgb8"])
+    parser.add_argument("--serve-argmax", type=str, default="full",
+                        choices=["full", "decoder"],
+                        help="labels output only: 'full' = exact eval "
+                             "semantics (bilinear-upsample logits, then "
+                             "argmax); 'decoder' = fast mode (argmax at "
+                             "stride-4 decoder resolution, nearest-upsample "
+                             "labels — skips all full-res 19-channel "
+                             "tensors)")
     parser.add_argument("--serve-batch-poly", action="store_true",
                         help="export the batch dim as symbolic")
     parser.add_argument("--serve-platforms", type=str, nargs="+",
@@ -93,6 +101,7 @@ def main(argv=None):
         info = export_servable(
             deeplab, params, bstats, (n, h, w, 3), args.out,
             output=args.serve_output, input=args.serve_input,
+            argmax_res=args.serve_argmax,
             platforms=args.serve_platforms,
             batch_polymorphic=args.serve_batch_poly,
             meta={"epoch": t.start_epoch, "best_pred": float(t.best_pred)})

@@ -44,26 +44,64 @@ _MAGIC = b"S2RSHLO1"
 _OUTPUTS = ("labels", "logits", "probs")
 
 
+def _nearest_ac_indices(out_size: int, in_size: int) -> np.ndarray:
+    """Align-corners nearest-neighbor gather indices (out_size,) int32.
+
+    Output coordinate i samples input coordinate i*(in-1)/(out-1) — the same
+    grid the align-corners bilinear resize interpolates on — rounded to the
+    nearest input pixel.
+    """
+    if out_size == 1:
+        return np.zeros((1,), np.int32)
+    scale = (in_size - 1) / (out_size - 1)
+    return np.rint(np.arange(out_size) * scale).astype(np.int32)
+
+
 def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
-                    input: str = "normalized") -> Callable:
+                    input: str = "normalized",
+                    argmax_res: str = "full") -> Callable:
     """Closure over the variables: image batch -> prediction.
 
     output: 'labels' (argmax trainIds, int32), 'logits' (f32 [N,H,W,C]) or
     'probs' (softmax f32).  input: 'normalized' | 'rgb8' (see module doc).
+
+    argmax_res (output='labels' only): 'full' (exact — bilinear-upsample the
+    19-channel logits to input resolution, then argmax; the eval-path
+    semantics) or 'decoder' (fast — argmax at the decoder's stride-4
+    resolution, then nearest-upsample the int32 LABELS on the same
+    align-corners grid).  'decoder' skips every full-res 19-channel tensor
+    (~2.5 GB of HBM traffic per full-res batch-8 call); it differs from
+    'full' only where the bilinear blend flips the winner near class
+    boundaries — measured agreement on a trained model is pinned in
+    tests/test_serving.py and PARITY.md §Performance.
     """
     if output not in _OUTPUTS:
         raise ValueError(f"output must be one of {_OUTPUTS}")
+    if argmax_res not in ("full", "decoder"):
+        raise ValueError("argmax_res must be 'full' or 'decoder'")
+    if argmax_res == "decoder" and output != "labels":
+        raise ValueError("argmax_res='decoder' only applies to "
+                         "output='labels'")
+    if argmax_res == "decoder":
+        deeplab = deeplab.clone(upsample_logits=False)
     variables = {"params": params, "batch_stats": batch_stats}
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
     std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
 
     def fn(image):
+        full_hw = image.shape[1:3]
         if input == "rgb8":
             image = (image.astype(jnp.float32) - mean) / std
         logits, _ = deeplab.apply(variables, image, False)
         logits = logits.astype(jnp.float32)
         if output == "labels":
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if argmax_res == "decoder":
+                rows = _nearest_ac_indices(full_hw[0], labels.shape[1])
+                cols = _nearest_ac_indices(full_hw[1], labels.shape[2])
+                labels = jnp.take(jnp.take(labels, rows, axis=1), cols,
+                                  axis=2)
+            return labels
         if output == "probs":
             return jax.nn.softmax(logits, axis=-1)
         return logits
@@ -74,6 +112,7 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
 def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
                     path: str, *, output: str = "labels",
                     input: str = "normalized",
+                    argmax_res: str = "full",
                     platforms: Optional[Sequence[str]] = None,
                     batch_polymorphic: bool = False,
                     meta: Optional[dict] = None) -> dict:
@@ -95,7 +134,7 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
     if platforms is None:
         platforms = [jax.default_backend()]
     fn = make_serving_fn(deeplab, params, batch_stats, output=output,
-                         input=input)
+                         input=input, argmax_res=argmax_res)
     dtype = jnp.uint8 if input == "rgb8" else jnp.float32
     if batch_polymorphic:
         # '_' placeholders take the concrete trailing dims from input_shape
@@ -108,6 +147,7 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
                                  platforms=list(platforms))(spec)
     blob = exported.serialize()
     info = {"format": "jax.export", "output": output, "input": input,
+            "argmax_res": argmax_res,
             "input_shape": list(input_shape),
             "input_dtype": str(np.dtype(dtype)),
             "batch_polymorphic": bool(batch_polymorphic),

@@ -44,6 +44,12 @@ class DeepLab(nn.Module):
     # the discriminator input (and its layout copies), the CE input and
     # all their gradients (Config.logits_dtype, opt-in).
     logits_dtype: Optional[jnp.dtype] = None
+    # False skips the final full-res resize and returns DECODER-resolution
+    # logits (stride 4).  Consumers: the fast serving mode (io/serving.py
+    # argmax_res='decoder' takes the argmax at this resolution and
+    # nearest-upsamples labels, skipping the full-res 19-channel tensors
+    # entirely).  Training/eval always keep the default True.
+    upsample_logits: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -85,8 +91,9 @@ class DeepLab(nn.Module):
                         dtype=self.dtype, name="aspp")(high, bn_train)
         logits = dec_cls(num_classes=self.num_classes, backbone=self.backbone,
                          dtype=self.dtype, name="decoder")(feat, low, bn_train)
-        logits = resize_bilinear_align_corners(
-            logits, x.shape[1:3],
-            dtype=(self.logits_dtype if self.logits_dtype is not None
-                   else jnp.promote_types(x.dtype, jnp.float32)))
+        if self.upsample_logits:
+            logits = resize_bilinear_align_corners(
+                logits, x.shape[1:3],
+                dtype=(self.logits_dtype if self.logits_dtype is not None
+                       else jnp.promote_types(x.dtype, jnp.float32)))
         return logits, feat

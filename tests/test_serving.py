@@ -175,6 +175,54 @@ def test_cli_infer_sweeps_directory(tmp_path, small_model):
         assert (out / f"frame_{i}_color.png").exists()
 
 
+def test_argmax_decoder_fast_mode(tmp_path, small_model):
+    """argmax_res='decoder' (fast serving): argmax at the decoder's stride-4
+    resolution + align-corners-nearest label upsample.  Pins (a) the index
+    math against a brute-force numpy nearest on the low-res argmax, (b) the
+    meta record / output contract, and (c) exact agreement with the exact
+    'full' mode at output pixels where the align-corners grid lands exactly
+    on a decoder pixel (the bilinear weights are one-hot there, so both
+    modes see the same logit vector)."""
+    from s2r_tpu.io.serving import _nearest_ac_indices
+
+    model, params, bstats = small_model
+    path = str(tmp_path / "fast.shlo")
+    info = export_servable(model, params, bstats, (2, 65, 65, 3), path,
+                           argmax_res="decoder")
+    assert info["argmax_res"] == "decoder"
+    serve = load_servable(path)
+    x = _images(seed=7)
+    got = np.asarray(serve(jnp.asarray(x)))
+    assert got.dtype == np.int32 and got.shape == (2, 65, 65)
+
+    # brute-force expectation from the decoder-resolution argmax
+    lowres, _ = model.clone(upsample_logits=False).apply(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(x), False)
+    lab_lr = np.argmax(np.asarray(lowres, np.float32), -1)
+    h_lr = lab_lr.shape[1]
+    rows = np.rint(np.arange(65) * (h_lr - 1) / 64.0).astype(np.int32)
+    np.testing.assert_array_equal(rows, _nearest_ac_indices(65, h_lr))
+    expected = lab_lr[:, rows][:, :, rows]
+    np.testing.assert_array_equal(got, expected)
+
+    # agreement with the exact mode at the one-hot-weight grid points:
+    # 65 -> h_lr is an integer align-corners ratio, so every stride-k output
+    # pixel samples a decoder pixel exactly
+    k = 64 // (h_lr - 1)
+    exact = np.asarray(jax.jit(make_serving_fn(model, params, bstats))(
+        jnp.asarray(x)))
+    np.testing.assert_array_equal(got[:, ::k, ::k], exact[:, ::k, ::k])
+
+
+def test_argmax_decoder_validation(small_model):
+    model, params, bstats = small_model
+    with pytest.raises(ValueError, match="only applies"):
+        make_serving_fn(model, params, bstats, output="logits",
+                        argmax_res="decoder")
+    with pytest.raises(ValueError, match="argmax_res"):
+        make_serving_fn(model, params, bstats, argmax_res="half")
+
+
 def test_bad_magic_rejected(tmp_path):
     p = tmp_path / "junk.shlo"
     p.write_bytes(b"NOTANART" + b"\0" * 64)
@@ -208,20 +256,37 @@ def test_servable_preserves_trained_miou(tmp_path):
                     if m.deeplab.logits_dtype is not None else m.deeplab)
     export_servable(eval_deeplab, params, bstats, (4, 128, 128, 3), shlo)
     serve = load_servable(shlo)
+    fast_shlo = str(tmp_path / "trained_fast.shlo")
+    export_servable(eval_deeplab, params, bstats, (4, 128, 128, 3),
+                    fast_shlo, argmax_res="decoder")
+    serve_fast = load_servable(fast_shlo)
 
     _, val_loader, _, nclass = make_data_loader(cfg)
     ev_frame, ev_serve = Evaluator(nclass), Evaluator(nclass)
+    ev_fast = Evaluator(nclass)
     eval_step = jax.jit(m.eval_step)
+    agree = total = 0
     for batch in val_loader:
         image = jnp.asarray(batch["image"])
         label = jnp.asarray(batch["label"])
         _, cm, _ = eval_step(params, bstats, image, label)
         ev_frame.merge(cm)
-        ev_serve.add_batch(label, serve(image))
+        exact = serve(image)
+        fast = serve_fast(image)
+        ev_serve.add_batch(label, exact)
+        ev_fast.add_batch(label, fast)
+        agree += int(np.sum(np.asarray(exact) == np.asarray(fast)))
+        total += exact.size
     miou_frame, _ = ev_frame.Mean_Intersection_over_Union()
     miou_serve, _ = ev_serve.Mean_Intersection_over_Union()
+    miou_fast, _ = ev_fast.Mean_Intersection_over_Union()
     assert miou_frame > 0.75, miou_frame  # the checkpoint really converged
     assert abs(miou_frame - miou_serve) < 5e-3, (miou_frame, miou_serve)
+    # the fast mode differs from exact only where the bilinear blend flips
+    # the winner near class boundaries — on a trained model that is a thin
+    # sliver of pixels, and mIoU must stay in the same regime
+    assert agree / total > 0.9, agree / total
+    assert miou_fast > miou_frame - 0.05, (miou_frame, miou_fast)
 
 
 def test_meta_passthrough_and_repr(tmp_path, small_model):
