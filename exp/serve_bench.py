@@ -45,6 +45,8 @@ def main():
                     help="also time the un-exported jitted closure (isolates "
                          "jax.export overhead from the serving formulation)")
     args = ap.parse_args()
+    if args.argmax == "decoder" and args.output != "labels":
+        ap.error("--argmax decoder requires --output labels")
 
     import jax
     import jax.numpy as jnp

@@ -64,6 +64,8 @@ def main(argv=None):
                              "only (multi-platform is on-device neutral, "
                              "just a bigger artifact — exp/serve_bench.py)")
     args = parser.parse_args(argv)
+    if args.serve_argmax == "decoder" and args.serve_output != "labels":
+        parser.error("--serve-argmax decoder requires --serve-output labels")
     apply_platform_override()
     cfg = config_from_args(args)
     if not cfg.resume:

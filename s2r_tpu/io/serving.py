@@ -54,7 +54,10 @@ def _nearest_ac_indices(out_size: int, in_size: int) -> np.ndarray:
     if out_size == 1:
         return np.zeros((1,), np.int32)
     scale = (in_size - 1) / (out_size - 1)
-    return np.rint(np.arange(out_size) * scale).astype(np.int32)
+    # floor(x + 0.5), not np.rint: rint's half-to-even tie-breaking makes
+    # ties at integer upsample ratios alternate down/up, giving an uneven
+    # nearest grid (some source pixels duplicated, neighbors skipped)
+    return np.floor(np.arange(out_size) * scale + 0.5).astype(np.int32)
 
 
 def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",

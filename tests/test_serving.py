@@ -175,6 +175,38 @@ def test_cli_infer_sweeps_directory(tmp_path, small_model):
         assert (out / f"frame_{i}_color.png").exists()
 
 
+def test_cli_infer_native_matches_pil(tmp_path, small_model):
+    """The pipelined native-decode host path (cli.infer --host-backend
+    native) produces the SAME predictions as the PIL path: decode + the
+    PIL-compatible C resize + prefetch/overlap must not change a pixel."""
+    from PIL import Image
+
+    from s2r_tpu import native
+    from s2r_tpu.cli import infer as infer_cli
+
+    if not native.available():
+        pytest.skip(f"native library unavailable: {native.build_error()}")
+
+    model, params, bstats = small_model
+    shlo = str(tmp_path / "m.shlo")
+    export_servable(model, params, bstats, (2, 64, 64, 3), shlo,
+                    output="labels", input="rgb8")
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(5):  # odd source sizes force the resize path
+        Image.fromarray(rng.randint(0, 256, (81, 97, 3), np.uint8)).save(
+            frames / f"f{i}.png")
+    for backend in ("native", "pil"):
+        infer_cli.main(["--servable", shlo, "--images", str(frames),
+                        "--out-dir", str(tmp_path / backend),
+                        "--host-backend", backend])
+    for i in range(5):
+        a = np.asarray(Image.open(tmp_path / "native" / f"f{i}_labelId.png"))
+        b = np.asarray(Image.open(tmp_path / "pil" / f"f{i}_labelId.png"))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_argmax_decoder_fast_mode(tmp_path, small_model):
     """argmax_res='decoder' (fast serving): argmax at the decoder's stride-4
     resolution + align-corners-nearest label upsample.  Pins (a) the index
@@ -200,7 +232,7 @@ def test_argmax_decoder_fast_mode(tmp_path, small_model):
         {"params": params, "batch_stats": bstats}, jnp.asarray(x), False)
     lab_lr = np.argmax(np.asarray(lowres, np.float32), -1)
     h_lr = lab_lr.shape[1]
-    rows = np.rint(np.arange(65) * (h_lr - 1) / 64.0).astype(np.int32)
+    rows = np.floor(np.arange(65) * (h_lr - 1) / 64.0 + 0.5).astype(np.int32)
     np.testing.assert_array_equal(rows, _nearest_ac_indices(65, h_lr))
     expected = lab_lr[:, rows][:, :, rows]
     np.testing.assert_array_equal(got, expected)
