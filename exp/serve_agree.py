@@ -1,7 +1,8 @@
 """Full-res agreement of the decoder-argmax serving fast path vs exact.
 
 Loads the committed convergence checkpoint (run/synthetic/conv-reval,
-held-out synthetic mIoU ~0.81 — PARITY.md §Convergence), builds the two
+held-out synthetic mIoU ~0.81 — PARITY.md §End-to-end convergence
+evidence), builds the two
 serving closures (argmax_res='full' exact eval semantics vs 'decoder'
 fast mode), and sweeps trained-distribution synthetic scenes at full
 serving resolution.  Reports pixel agreement between the two modes and
@@ -31,6 +32,9 @@ def main():
     ap.add_argument("--ckpt", type=str,
                     default="run/synthetic/conv-reval/model_best.ckpt")
     args = ap.parse_args()
+
+    from s2r_tpu.config import apply_platform_override
+    apply_platform_override()  # honor S2R_PLATFORM=cpu (agreement needs no TPU)
 
     import jax
     import jax.numpy as jnp

@@ -3,8 +3,8 @@
 The reference has no equivalent — it requires GTA5/Cityscapes on disk.
 These generate structured random scenes with a FIXED class -> color mapping
 (scaled Cityscapes palette), so the task is *learnable* and end-to-end
-convergence is testable (PARITY.md reports val mIoU 0.74 on held-out
-scenes).
+convergence is testable (PARITY.md §End-to-end convergence evidence
+reports held-out val mIoU 0.81).
 
 Scenes are emitted as uint8 frames and flow through the SAME transform
 pipeline as real data (train/eval PIL transforms, the staged device-aug

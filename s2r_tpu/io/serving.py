@@ -75,8 +75,12 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
     align-corners grid).  'decoder' skips every full-res 19-channel tensor
     (~2.5 GB of HBM traffic per full-res batch-8 call); it differs from
     'full' only where the bilinear blend flips the winner near class
-    boundaries — measured agreement on a trained model is pinned in
-    tests/test_serving.py and PARITY.md §Performance.
+    boundaries.  Measured (PARITY.md §Performance, serving paragraph):
+    7.86 vs 8.35-8.56 ms/image full-res b8 on v5e (~7% faster) at 99.40%
+    full-res pixel agreement on the trained checkpoint, mIoU 0.9083 vs
+    0.9125 exact (exp/serve_bench.py --argmax decoder, exp/serve_agree.py);
+    index-math
+    and trained-ckpt agreement tests in tests/test_serving.py.
     """
     if output not in _OUTPUTS:
         raise ValueError(f"output must be one of {_OUTPUTS}")

@@ -18,6 +18,8 @@ from s2r_tpu.config import Config
 from s2r_tpu.train import setup as setup_mod
 from s2r_tpu.train.setup import build_method
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 CROP = 64
 K = 3      # real batch (not a multiple of anything nice)
 PAD = 4    # padded batch

@@ -7,6 +7,8 @@ from PIL import Image
 from s2r_tpu.cli import train as train_cli
 from s2r_tpu.cli import val as val_cli
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 @pytest.fixture
 def gtav_roots(tmp_path):

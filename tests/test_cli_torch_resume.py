@@ -20,6 +20,8 @@ from s2r_tpu.cli import export as export_cli  # noqa: E402
 from s2r_tpu.cli import val as val_cli  # noqa: E402
 from s2r_tpu.cli import val_adapt as val_adapt_cli  # noqa: E402
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 def _composite_state_dict():
     torch.manual_seed(0)

@@ -9,6 +9,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __graft_entry__ import dryrun_multichip  # noqa: E402
 
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 def test_dryrun_multichip_32_devices():
     # The pytest process holds an 8-device CPU backend (conftest), so the

@@ -15,8 +15,11 @@ from s2r_tpu import native
 from s2r_tpu.data.datasets import _LUT
 from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason=f"native: {native.build_error()}")
+pytestmark = [
+    pytest.mark.slow,  # step-compile / e2e: full tier only
+    pytest.mark.skipif(not native.available(),
+                       reason=f"native: {native.build_error()}"),
+]
 
 
 def _write_pngs(tmp_path, sw=97, sh=61, tw=83, th=53, seed=0):

@@ -8,6 +8,10 @@ import jax.numpy as jnp
 from s2r_tpu.config import Config
 from s2r_tpu.train.setup import build_method
 
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 HW, N = 32, 2
 
 

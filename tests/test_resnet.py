@@ -15,6 +15,8 @@ from s2r_tpu.train.setup import build_method
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 @pytest.mark.parametrize("os_,hw,feat", [(16, 64, 4), (8, 64, 8)])
 def test_resnet_shapes(os_, hw, feat):

@@ -19,6 +19,8 @@ from s2r_tpu.io.serving import (Servable, export_servable, load_servable,
                                 make_serving_fn)
 from s2r_tpu.models import DeepLab
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 @pytest.fixture(scope="module")
 def small_model():

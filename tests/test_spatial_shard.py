@@ -12,6 +12,10 @@ from s2r_tpu.config import Config
 from s2r_tpu.core.mesh import make_mesh, replicate, shard_spatial
 from s2r_tpu.train.setup import build_method
 
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 def test_spatially_sharded_eval_matches():
     cfg = Config(crop_size=64, base_size=64, batch_size=2, epochs=1,

@@ -11,6 +11,7 @@ tests/test_steps.py::test_sharded_equals_single (same cancellation-noise
 analysis)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,8 @@ import jax.numpy as jnp
 from s2r_tpu.config import Config
 from s2r_tpu.core.mesh import make_mesh, replicate, shard_batch
 from s2r_tpu.train.setup import build_method
+
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
 
 HW = 64
 N = 8

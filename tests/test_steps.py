@@ -12,6 +12,8 @@ from s2r_tpu.config import Config
 from s2r_tpu.core.mesh import make_mesh, replicate, shard_batch
 from s2r_tpu.train.setup import build_method
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 HW = 64
 N = 8
 

@@ -23,6 +23,8 @@ from s2r_tpu.io import torch_export as te  # noqa: E402
 from s2r_tpu.io import torch_import as ti  # noqa: E402
 from s2r_tpu.models import DeepLab  # noqa: E402
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 def _our_model_and_vars():
     model = DeepLab(output_stride=16, num_classes=19)

@@ -26,6 +26,8 @@ from modeling.domian import DomainClassifer as TorchDomain  # noqa: E402
 from s2r_tpu.io import torch_import as ti  # noqa: E402
 from s2r_tpu.train.optim import SGD, Adam, FusedOptimizer  # noqa: E402
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 LR = 5e-4
 
 

@@ -28,6 +28,8 @@ from s2r_tpu.io import torch_import as ti
 from s2r_tpu.models.drn import DRN, LAYERS_D54
 from s2r_tpu.models.xception import AlignedXception
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 TOL = dict(rtol=1e-3, atol=1e-3)
 
 

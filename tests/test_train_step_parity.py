@@ -35,6 +35,8 @@ from s2r_tpu.io import torch_import as ti  # noqa: E402
 from s2r_tpu.models import layers as L  # noqa: E402
 from s2r_tpu.train.setup import build_method  # noqa: E402
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 HW, B, LR = 64, 2, 5e-4
 
 

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 from s2r_tpu.config import Config
 from s2r_tpu.train.trainer import Trainer, pick_num_devices
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 def _cfg(tmp_path, **kw):
     base = dict(dataset="synthetic", crop_size=32, base_size=32, batch_size=2,

@@ -5,6 +5,10 @@ import numpy as np
 from s2r_tpu.config import Config
 from s2r_tpu.train.trainer import Trainer
 
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 def _cfg(tmp_path, **kw):
     base = dict(dataset="synthetic", crop_size=32, base_size=32, batch_size=2,

@@ -17,6 +17,8 @@ from s2r_tpu.models import DeepLab, build_backbone
 from s2r_tpu.models.xception import AlignedXception
 from s2r_tpu.train.setup import build_method
 
+pytestmark = pytest.mark.slow  # step-compile / e2e: full tier only
+
 
 @pytest.mark.parametrize("os_,hw,feat", [(16, 64, 4), (8, 64, 8)])
 def test_xception_shapes(os_, hw, feat):
