@@ -7,7 +7,8 @@ methodology behind the PARITY.md §Performance device-profile tables.
 Usage:
     PYTHONPATH=/root/repo:$PYTHONPATH python exp/profile_step.py [config]
 configs: mobilenet_b8 (default) | resnet101_b4 | resnet101_b8 |
-         xception_b8 | drn_b8 | feature_b8 | eval_fullres | serve_fullres
+         xception_b8 | drn_b8 | feature_b8 | eval_fullres | serve_fullres |
+         serve_decoder
 """
 
 from __future__ import annotations
@@ -53,6 +54,8 @@ CONFIGS = {
     "feature_b8": dict(backbone="mobilenet", batch=8, method="feature_adapt"),
     "eval_fullres": dict(backbone="mobilenet", batch=1, method="eval"),
     "serve_fullres": dict(backbone="mobilenet", batch=8, method="serve"),
+    "serve_decoder": dict(backbone="mobilenet", batch=8, method="serve",
+                          argmax_res="decoder"),
 }
 
 
@@ -69,7 +72,8 @@ def _serving_fn_and_input(c):
     eval_deeplab = (m.deeplab.clone(logits_dtype=None)
                     if m.deeplab.logits_dtype is not None else m.deeplab)
     sfn = make_serving_fn(eval_deeplab, params, bstats, output="labels",
-                          input="rgb8")
+                          input="rgb8",
+                          argmax_res=c.get("argmax_res", "full"))
     img = jnp.asarray(np.random.RandomState(0).randint(
         0, 256, (c["batch"], 1024, 2048, 3), np.uint8))
     return sfn, img

@@ -108,6 +108,12 @@ class Config:
     checkname: Optional[str] = None
     ft: bool = True  # reference default (train.py:398): optimizer state NOT restored
     run_root: str = "run"
+    # Async checkpointing: snapshot the state on-device, then transfer +
+    # serialize + write on a background thread so the train loop never
+    # stalls on checkpoint IO (the device->host pull alone is ~10 s for a
+    # resnet101 state over the axon tunnel).  Files are byte-identical to
+    # sync saves; the Trainer joins the writer before exiting.
+    async_save: bool = True
 
     # --- evaluation (reference: train_adapt.py:343-346) ---
     eval_interval: int = 1
@@ -261,6 +267,10 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                    help="dtype of the full-res upsampled logits (bf16 = "
                         "opt-in fast mode; f32 = reference semantics)")
     p.add_argument("--no-val", action="store_true", default=d.no_val, dest="no_val")
+    p.add_argument("--no-async-save", action="store_false", dest="async_save",
+                   default=d.async_save,
+                   help="write checkpoints synchronously in the train loop "
+                        "(default: overlap checkpoint IO with training)")
     p.add_argument("--run-root", type=str, default=d.run_root, dest="run_root")
     p.add_argument("--adv-softmax-axis", type=str, default=d.adv_softmax_axis,
                    choices=["batch", "class"], dest="adv_softmax_axis")

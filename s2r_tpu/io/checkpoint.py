@@ -10,7 +10,9 @@ torch checkpoints are imported via s2r_tpu.io.torch_import.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+import queue
+import threading
+from typing import Any, Callable, Dict, Optional
 
 import flax.serialization
 import jax
@@ -19,6 +21,64 @@ import numpy as np
 
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+# Device-side snapshot: the train step donates the state buffers
+# (trainer.py jit donate_argnums=0), so a background writer holding the
+# live pytree would read freed HBM.  A jitted jnp.copy produces fresh,
+# non-donated buffers at HBM bandwidth (~0.4 ms for a resnet101 state vs
+# ~10 s to pull it through the axon tunnel), after which the slow
+# device->host transfer + msgpack + disk write can all overlap training.
+# jax.Arrays are immutable, so the snapshot needs no further locking.
+_snapshot = jax.jit(lambda tree: jax.tree.map(jax.numpy.copy, tree))
+
+
+class AsyncWriter:
+    """Single ordered background thread for checkpoint writes.
+
+    Jobs run FIFO (best-promotion logic depends on the checkpoint file
+    existing), errors are re-raised on the next submit() or wait() —
+    a checkpoint that silently failed to persist must not look saved.
+    The thread is a daemon and is created lazily on first submit, so
+    non-writing ranks (Saver(create=False)) never spawn one.
+    """
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+        self._lock = threading.Lock()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            try:
+                job()
+            except BaseException as e:  # noqa: BLE001 — surfaced on wait()
+                with self._lock:
+                    if self._err is None:
+                        self._err = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self):
+        with self._lock:
+            err, self._err = self._err, None
+        if err is not None:
+            raise err
+
+    def submit(self, job: Callable[[], None]) -> None:
+        self._raise_pending()
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, name="s2r-ckpt-writer", daemon=True)
+            self._thread.start()
+        self._q.put(job)
+
+    def wait(self) -> None:
+        """Block until every submitted write hit disk; raise any error."""
+        self._q.join()
+        self._raise_pending()
 
 
 def save_checkpoint(path: str, state, epoch: int, best_pred: float,

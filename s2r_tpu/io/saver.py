@@ -17,6 +17,7 @@ import shutil
 from typing import Any, Dict, Optional
 
 from s2r_tpu.config import Config
+from s2r_tpu.io.checkpoint import AsyncWriter, _snapshot
 from s2r_tpu.io.checkpoint import save_checkpoint as _save_ckpt
 
 CKPT_NAME = "checkpoint.ckpt"
@@ -29,6 +30,12 @@ class Saver:
         paths for reads (--resume auto) but claim no experiment dir and
         never expect to write."""
         self.cfg = cfg
+        # Async mode (default): snapshot the state on-device (HBM copy, the
+        # step's donated buffers stay untouched), then device->host transfer
+        # + serialize + atomic write on a background thread.  The written
+        # file is byte-identical to a sync save; wait() joins + re-raises.
+        self._writer = AsyncWriter() if getattr(cfg, "async_save", True) \
+            else None
         self.directory = os.path.join(cfg.run_root, cfg.dataset,
                                       cfg.checkname or "experiment")
         runs = sorted(glob.glob(os.path.join(self.directory, "experiment_*")),
@@ -44,6 +51,15 @@ class Saver:
                         is_best: bool, filename: str = CKPT_NAME,
                         extra: Optional[Dict[str, Any]] = None) -> str:
         path = os.path.join(self.experiment_dir, filename)
+        if self._writer is not None:
+            state = _snapshot(state)
+            self._writer.submit(lambda: self._write(
+                path, state, epoch, best_pred, is_best, extra))
+        else:
+            self._write(path, state, epoch, best_pred, is_best, extra)
+        return path
+
+    def _write(self, path, state, epoch, best_pred, is_best, extra) -> None:
         _save_ckpt(path, state, epoch, best_pred, extra)
         if is_best:
             with open(os.path.join(self.experiment_dir, "best_pred.txt"),
@@ -57,7 +73,12 @@ class Saver:
                         previous.append(float(f.readline()))
             if not self.runs or best_pred > max(previous):
                 shutil.copyfile(path, os.path.join(self.directory, BEST_NAME))
-        return path
+
+    def wait(self) -> None:
+        """Block until every pending async write hit disk (no-op in sync
+        mode); re-raises the first background write error."""
+        if self._writer is not None:
+            self._writer.wait()
 
     def save_experiment_config(self) -> None:
         cfg = self.cfg

@@ -391,4 +391,7 @@ class Trainer:
                                            is_best=False)
             raise
         finally:
+            # join the async checkpoint writer: every submitted save must
+            # be on disk (and any write error raised) before fit() returns
+            self.saver.wait()
             self.writer.close()
