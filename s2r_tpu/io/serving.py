@@ -38,6 +38,7 @@ import numpy as np
 from jax import export as jax_export
 
 from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from s2r_tpu.ops.argmax import argmax_first
 
 _MAGIC = b"S2RSHLO1"
 
@@ -102,7 +103,7 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
         logits, _ = deeplab.apply(variables, image, False)
         logits = logits.astype(jnp.float32)
         if output == "labels":
-            labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            labels = argmax_first(logits, axis=-1)
             if argmax_res == "decoder":
                 rows = _nearest_ac_indices(full_hw[0], labels.shape[1])
                 cols = _nearest_ac_indices(full_hw[1], labels.shape[2])

@@ -1,6 +1,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from s2r_tpu.ops.resize import resize_bilinear_align_corners
@@ -127,3 +128,56 @@ def test_rng_dropout_recompute_bit_identical():
     g1 = jax.grad(lambda x: jnp.sum(_rng_dropout(x, key, 0.5) ** 2))(x)
     g2 = jax.grad(lambda x: jnp.sum(saved_mask(x, key, 0.5) ** 2))(x)
     assert bool((g1 == g2).all())
+
+
+# ---------------------------------------------------------------------------
+# argmax_first: two-reduce channel argmax (s2r_tpu/ops/argmax.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,axis", [((2, 4, 4, 19), -1),
+                                        ((3, 19, 5), 1),
+                                        ((7,), 0),
+                                        ((2, 1, 3, 1), -1)])
+def test_argmax_first_matches_jnp(shape, axis):
+    from s2r_tpu.ops.argmax import argmax_first
+
+    rng = np.random.RandomState(0)
+    for dt in (np.float32, jnp.bfloat16, np.int32):
+        x = rng.randn(*shape) * 10
+        x = jnp.asarray(x.astype(np.float32)).astype(dt)
+        got = jax.jit(lambda v: argmax_first(v, axis))(x)
+        want = jnp.argmax(x, axis=axis)
+        assert got.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_argmax_first_tie_breaks_to_first_index():
+    from s2r_tpu.ops.argmax import argmax_first
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(64, 19).astype(np.float32)
+    # force exact multi-way ties at the max in every row
+    m = x.max(axis=1, keepdims=True) + 1.0
+    for r in range(64):
+        cols = rng.choice(19, size=rng.randint(2, 6), replace=False)
+        x[r, cols] = m[r]
+    got = np.asarray(jax.jit(argmax_first)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.argmax(x, axis=1))
+
+
+def test_argmax_first_grad_free_and_shards():
+    """Usable inside jit under a mesh (eval step): constant-fold check that
+    it traces with a sharded input on the virtual mesh."""
+    from s2r_tpu.ops.argmax import argmax_first
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from s2r_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh()
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 4, 4, 19),
+                    jnp.float32)
+    x = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda v: argmax_first(v, -1))(x)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.argmax(np.asarray(x), -1))
