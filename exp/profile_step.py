@@ -53,6 +53,7 @@ CONFIGS = {
     "drn_b8": dict(backbone="drn", batch=8, method="output_adapt"),
     "feature_b8": dict(backbone="mobilenet", batch=8, method="feature_adapt"),
     "eval_fullres": dict(backbone="mobilenet", batch=1, method="eval"),
+    "eval_fullres_b8": dict(backbone="mobilenet", batch=8, method="eval"),
     "serve_fullres": dict(backbone="mobilenet", batch=8, method="serve"),
     "serve_decoder": dict(backbone="mobilenet", batch=8, method="serve",
                           argmax_res="decoder"),

@@ -55,7 +55,7 @@ def main(argv=None):
                              "argmax); 'decoder' = fast mode (argmax at "
                              "stride-4 decoder resolution, nearest-upsample "
                              "labels — skips all full-res 19-channel "
-                             "tensors; measured 7.86 vs 8.35-8.56 ms/image "
+                             "tensors; measured 7.61 vs 8.35-8.56 ms/image "
                              "full-res b8 on v5e at 99.40%% pixel agreement, "
                              "mIoU -0.004 — PARITY.md §Performance)")
     parser.add_argument("--serve-batch-poly", action="store_true",

@@ -137,7 +137,7 @@ def main(argv=None):
     pending = deque(batch_pool.submit(assemble, batches[b])
                     for b in range(depth))
     next_sub = depth
-    save_futs = []
+    save_futs = deque()
     for chunk in batches:
         batch = pending.popleft().result()
         if next_sub < len(batches):  # keep the decode pipeline full
@@ -151,6 +151,11 @@ def main(argv=None):
                 _save_prediction, pred[j], os.path.basename(p), args.out_dir,
                 args.dataset))
         done += len(chunk)
+        # bound the save backlog: each queued future pins a full-res
+        # prediction view; on a long sweep with slow disk that's unbounded
+        # host memory.  Keep at most ~4 batches of saves in flight.
+        while len(save_futs) > 4 * n:
+            save_futs.popleft().result()
     for f in save_futs:
         f.result()
     frame_pool.shutdown()

@@ -274,6 +274,11 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     p.add_argument("--run-root", type=str, default=d.run_root, dest="run_root")
     p.add_argument("--adv-softmax-axis", type=str, default=d.adv_softmax_axis,
                    choices=["batch", "class"], dest="adv_softmax_axis")
+    p.add_argument("--no-val-drop-last", action="store_false",
+                   dest="val_drop_last", default=d.val_drop_last,
+                   help="evaluate the tail val/test batch too (the "
+                        "reference's loaders silently drop it — quirk "
+                        "preserved by default)")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
