@@ -133,6 +133,7 @@ def main(argv=None):
 
     done = 0
     t0 = time.time()
+    t_first = None  # set after batch 0: first call pays the servable compile
     depth = min(max(args.prefetch, 1), len(batches))
     pending = deque(batch_pool.submit(assemble, batches[b])
                     for b in range(depth))
@@ -151,6 +152,8 @@ def main(argv=None):
                 _save_prediction, pred[j], os.path.basename(p), args.out_dir,
                 args.dataset))
         done += len(chunk)
+        if t_first is None:
+            t_first = time.time()
         # bound the save backlog: each queued future pins a full-res
         # prediction view; on a long sweep with slow disk that's unbounded
         # host memory.  Keep at most ~4 batches of saves in flight.
@@ -162,8 +165,15 @@ def main(argv=None):
     batch_pool.shutdown()
     save_pool.shutdown()
     dt = time.time() - t0
-    print(f"saved {done} predictions to {args.out_dir} "
-          f"({1000.0 * dt / done:.1f} ms/image incl. host IO)")
+    msg = (f"saved {done} predictions to {args.out_dir} "
+           f"({1000.0 * dt / done:.1f} ms/image incl. host IO")
+    if t_first is not None and done > n:
+        # steady state: exclude batch 0, which pays the one-time servable
+        # deserialize+compile (minutes over a slow link) — the number that
+        # scales with sweep length
+        steady = 1000.0 * (time.time() - t_first) / (done - n)
+        msg += f"; steady-state after the first-batch compile: {steady:.1f}"
+    print(msg + ")")
     return done
 
 

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s2r_tpu.ops.argmax import argmax_first
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -49,7 +48,7 @@ def confusion_from_logits(logits: jnp.ndarray, gt: jnp.ndarray,
     """Fused argmax + confusion update, so only a [C, C] matrix ever leaves
     the device during validation (reference ships full logit tensors to host,
     train_adapt.py:225-227)."""
-    pred = argmax_first(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=-1)
     return confusion_matrix(gt, pred, num_classes)
 
 

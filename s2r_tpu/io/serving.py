@@ -103,7 +103,15 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
         logits, _ = deeplab.apply(variables, image, False)
         logits = logits.astype(jnp.float32)
         if output == "labels":
-            labels = argmax_first(logits, axis=-1)
+            # argmax_first (two simple reduces) wins at decoder resolution
+            # (7.86 -> 7.61 ms/image) but XLA compiles it pathologically
+            # slowly at full res (the round-4 rehearsal's servable export
+            # went 73 s -> 2187 s) for a neutral runtime — so the exact
+            # 'full' path keeps jnp.argmax.
+            if argmax_res == "full":
+                labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                labels = argmax_first(logits, axis=-1)
             if argmax_res == "decoder":
                 rows = _nearest_ac_indices(full_hw[0], labels.shape[1])
                 cols = _nearest_ac_indices(full_hw[1], labels.shape[2])

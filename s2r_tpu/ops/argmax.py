@@ -23,8 +23,17 @@ NaN-free (segmentation logits are; a NaN column would return ``n``
 where numpy returns the NaN's index).
 
 Measured (v5e, scan-of-iters + readback methodology): 2.51 vs 5.23 ms at
-[8,256,512,19] bf16 — 2.1x; serving/eval integration numbers in PARITY.md
+[8,256,512,19] bf16 — 2.1x; serving integration numbers in PARITY.md
 §Performance.
+
+COMPILE-TIME CAVEAT: at full resolution ([8,1024,2048,19]) XLA compiles
+this pattern pathologically slowly on the axon backend (the round-4
+rehearsal's servable export went 73 s -> 2187 s; a standalone full-res
+jit didn't finish compiling in 10 min) while the runtime win there is
+neutral-to-2% anyway (the full-res argmax already fuses into the upsample
+consumers).  So this op is wired ONLY where the argmax runs at decoder
+resolution (serving ``argmax_res='decoder'``); full-res eval/serving
+paths keep ``jnp.argmax``.
 """
 
 from __future__ import annotations

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from s2r_tpu.models.layers import bn_real_batch
-from s2r_tpu.ops.argmax import argmax_first
 from s2r_tpu.train.losses import bce_with_logits, domain_loss
 from s2r_tpu.train.optim import FusedOptimizer, lr_mult_tree
 from s2r_tpu.train.state import TrainState
@@ -309,7 +308,7 @@ def make_eval_step(deeplab, seg_loss_fn: Callable, num_classes: int):
         logits, _ = deeplab.apply(
             {"params": params, "batch_stats": batch_stats}, image, False)
         loss = seg_loss_fn(logits, label)
-        pred = argmax_first(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1)
         from s2r_tpu.eval.metrics import confusion_matrix
         cm = confusion_matrix(label, pred, num_classes)
         return loss, cm, pred

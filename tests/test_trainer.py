@@ -37,6 +37,7 @@ def test_trainer_end_to_end(tmp_path):
     assert np.isfinite(means["seg_loss"])
     miou = t.validation(0)
     assert 0.0 <= miou <= 1.0
+    t.saver.wait()  # validation() submits the save; fit() joins, we must
     ckpt = os.path.join(t.saver.experiment_dir, "checkpoint.ckpt")
     assert os.path.exists(ckpt)
 

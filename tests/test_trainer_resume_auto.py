@@ -27,6 +27,7 @@ def test_resume_auto_picks_latest(tmp_path):
     t = Trainer(_cfg(tmp_path), method="output_adapt")
     t.training(0)
     miou = t.validation(0)
+    t.saver.wait()  # direct validation() call: join before reading files
     ckpt = os.path.join(t.saver.experiment_dir, "checkpoint.ckpt")
     assert os.path.exists(ckpt)
 
