@@ -37,6 +37,10 @@ def main():
                     choices=["full", "decoder"],
                     help="labels only: 'decoder' = fast mode (argmax at "
                          "stride-4 res, nearest label upsample)")
+    ap.add_argument("--label-dtype", type=str, default="int32",
+                    choices=["int32", "uint8"], dest="label_dtype",
+                    help="labels only: uint8 = byte label plane (4x fewer "
+                         "D2H bytes; 4x less full-res HBM in decoder mode)")
     ap.add_argument("--precision", type=str, default="bf16")
     ap.add_argument("--backbone", type=str, default="mobilenet")
     ap.add_argument("--platforms", type=str, nargs="+", default=None,
@@ -47,6 +51,8 @@ def main():
     args = ap.parse_args()
     if args.argmax == "decoder" and args.output != "labels":
         ap.error("--argmax decoder requires --output labels")
+    if args.label_dtype != "int32" and args.output != "labels":
+        ap.error("--label-dtype requires --output labels")
 
     import jax
     import jax.numpy as jnp
@@ -68,7 +74,8 @@ def main():
     t0 = time.time()
     export_servable(model, v["params"], v["batch_stats"], (n, h, w, 3),
                     path, output=args.output, input=args.input,
-                    argmax_res=args.argmax, platforms=args.platforms)
+                    argmax_res=args.argmax, label_dtype=args.label_dtype,
+                    platforms=args.platforms)
     print(f"export: {time.time() - t0:.1f}s")
     serve = load_servable(path)
 
@@ -129,7 +136,8 @@ def main():
         from s2r_tpu.io.serving import make_serving_fn
         time_call(make_serving_fn(model, v["params"], v["batch_stats"],
                                   output=args.output, input=args.input,
-                                  argmax_res=args.argmax),
+                                  argmax_res=args.argmax,
+                                  label_dtype=args.label_dtype),
                   "direct-jit")
         # weights as ARGUMENTS (the eval-step formulation) — isolates the
         # cost of baking weights in as HLO constants

@@ -58,6 +58,13 @@ def main(argv=None):
                              "tensors; measured 7.61 vs 8.35-8.56 ms/image "
                              "full-res b8 on v5e at 99.40%% pixel agreement, "
                              "mIoU -0.004 — PARITY.md §Performance)")
+    parser.add_argument("--serve-label-dtype", type=str, default="int32",
+                        choices=["int32", "uint8"],
+                        help="labels output only: uint8 halves nothing "
+                             "on-device in 'full' mode but moves 4x fewer "
+                             "device->host bytes per frame (labelId PNGs "
+                             "are 8-bit anyway); in 'decoder' mode the "
+                             "full-res label pass also moves 4x less HBM")
     parser.add_argument("--serve-batch-poly", action="store_true",
                         help="export the batch dim as symbolic")
     parser.add_argument("--serve-platforms", type=str, nargs="+",
@@ -68,6 +75,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.serve_argmax == "decoder" and args.serve_output != "labels":
         parser.error("--serve-argmax decoder requires --serve-output labels")
+    if args.serve_label_dtype != "int32" and args.serve_output != "labels":
+        parser.error("--serve-label-dtype requires --serve-output labels")
     apply_platform_override()
     cfg = config_from_args(args)
     if not cfg.resume:
@@ -106,6 +115,7 @@ def main(argv=None):
             deeplab, params, bstats, (n, h, w, 3), args.out,
             output=args.serve_output, input=args.serve_input,
             argmax_res=args.serve_argmax,
+            label_dtype=args.serve_label_dtype,
             platforms=args.serve_platforms,
             batch_polymorphic=args.serve_batch_poly,
             meta={"epoch": t.start_epoch, "best_pred": float(t.best_pred)})

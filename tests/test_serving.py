@@ -255,6 +255,31 @@ def test_argmax_decoder_validation(small_model):
                         argmax_res="decoder")
     with pytest.raises(ValueError, match="argmax_res"):
         make_serving_fn(model, params, bstats, argmax_res="half")
+    with pytest.raises(ValueError, match="only applies"):
+        make_serving_fn(model, params, bstats, output="probs",
+                        label_dtype="uint8")
+    with pytest.raises(ValueError, match="label_dtype"):
+        make_serving_fn(model, params, bstats, label_dtype="int8")
+
+
+@pytest.mark.parametrize("argmax_res", ["full", "decoder"])
+def test_uint8_label_dtype(tmp_path, small_model, argmax_res):
+    """label_dtype='uint8': byte label plane (labelId PNGs are 8-bit; 4x
+    fewer D2H bytes/frame), values identical to the int32 artifact in both
+    argmax modes — the decoder mode casts BEFORE the nearest gather, which
+    must not change any label."""
+    model, params, bstats = small_model
+    x = _images(seed=11)
+    p8 = str(tmp_path / f"u8_{argmax_res}.shlo")
+    info = export_servable(model, params, bstats, (2, 65, 65, 3), p8,
+                           argmax_res=argmax_res, label_dtype="uint8")
+    assert info["label_dtype"] == "uint8"
+    got8 = np.asarray(load_servable(p8)(jnp.asarray(x)))
+    assert got8.dtype == np.uint8 and got8.shape == (2, 65, 65)
+    want = np.asarray(jax.jit(make_serving_fn(
+        model, params, bstats, argmax_res=argmax_res))(jnp.asarray(x)))
+    assert want.dtype == np.int32
+    np.testing.assert_array_equal(got8.astype(np.int32), want)
 
 
 def test_bad_magic_rejected(tmp_path):
