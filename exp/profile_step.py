@@ -8,7 +8,7 @@ Usage:
     PYTHONPATH=/root/repo:$PYTHONPATH python exp/profile_step.py [config]
 configs: mobilenet_b8 (default) | resnet101_b4 | resnet101_b8 |
          xception_b8 | drn_b8 | feature_b8 | eval_fullres | serve_fullres |
-         serve_decoder
+         serve_decoder | serve_decoder_int8
 """
 
 from __future__ import annotations
@@ -57,6 +57,8 @@ CONFIGS = {
     "serve_fullres": dict(backbone="mobilenet", batch=8, method="serve"),
     "serve_decoder": dict(backbone="mobilenet", batch=8, method="serve",
                           argmax_res="decoder"),
+    "serve_decoder_int8": dict(backbone="mobilenet", batch=8, method="serve",
+                               argmax_res="decoder", quant="decoder_int8"),
 }
 
 
@@ -72,9 +74,19 @@ def _serving_fn_and_input(c):
     params, bstats = m.eval_variables(state)
     eval_deeplab = (m.deeplab.clone(logits_dtype=None)
                     if m.deeplab.logits_dtype is not None else m.deeplab)
+    quant = c.get("quant", "none")
+    quant_scales = None
+    if quant != "none":
+        from s2r_tpu.io.quant import calibrate_decoder_int8
+
+        calib = [np.random.RandomState(1).rand(1, 257, 513, 3)
+                 .astype(np.float32)]
+        quant_scales = calibrate_decoder_int8(eval_deeplab, params, bstats,
+                                              calib)
     sfn = make_serving_fn(eval_deeplab, params, bstats, output="labels",
                           input="rgb8",
-                          argmax_res=c.get("argmax_res", "full"))
+                          argmax_res=c.get("argmax_res", "full"),
+                          quant=quant, quant_scales=quant_scales)
     img = jnp.asarray(np.random.RandomState(0).randint(
         0, 256, (c["batch"], 1024, 2048, 3), np.uint8))
     return sfn, img

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--ckpt", type=str,
                     default="run/synthetic/conv-reval/model_best.ckpt")
+    ap.add_argument("--quant", type=str, default="none",
+                    choices=["none", "decoder-int8"],
+                    help="compare exact vs decoder-mode WITH the int8 "
+                         "decoder tail (io/quant.py), calibrated on one "
+                         "trained-distribution scene batch")
     args = ap.parse_args()
 
     from s2r_tpu.config import apply_platform_override
@@ -56,9 +61,21 @@ def main():
     deeplab = (m.deeplab.clone(logits_dtype=None)
                if m.deeplab.logits_dtype is not None else m.deeplab)
 
+    quant = args.quant.replace("-", "_")
+    quant_scales = None
+    if quant != "none":
+        from s2r_tpu.io.quant import calibrate_decoder_int8
+
+        rng = np.random.RandomState(123)
+        calib = np.stack([_scene(rng, 512, 1024)[0] for _ in range(2)])
+        quant_scales = calibrate_decoder_int8(deeplab, params, bstats,
+                                              [calib], input="rgb8")
+        print(f"calibrated int8 scales: {quant_scales}")
+
     fn_full = jax.jit(make_serving_fn(deeplab, params, bstats, input="rgb8"))
     fn_fast = jax.jit(make_serving_fn(deeplab, params, bstats, input="rgb8",
-                                      argmax_res="decoder"))
+                                      argmax_res="decoder",
+                                      quant=quant, quant_scales=quant_scales))
 
     @jax.jit
     def compare(pf, pd, lbl):
@@ -86,7 +103,8 @@ def main():
         print(f"batch {b}: running agreement {agree / total:.6f}")
     miou_f, _ = ev_full.Mean_Intersection_over_Union()
     miou_d, _ = ev_fast.Mean_Intersection_over_Union()
-    print(f"decoder-vs-full @{h}x{w} b{args.batch} x{args.batches} "
+    tag = "decoder-int8" if quant != "none" else "decoder"
+    print(f"{tag}-vs-full @{h}x{w} b{args.batch} x{args.batches} "
           f"(trained ckpt {args.ckpt}):")
     print(f"  pixel agreement {100.0 * agree / total:.3f}%")
     print(f"  mIoU exact {miou_f:.4f}  fast {miou_d:.4f}  "

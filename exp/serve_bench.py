@@ -41,6 +41,12 @@ def main():
                     choices=["int32", "uint8"], dest="label_dtype",
                     help="labels only: uint8 = byte label plane (4x fewer "
                          "D2H bytes; 4x less full-res HBM in decoder mode)")
+    ap.add_argument("--quant", type=str, default="none",
+                    choices=["none", "decoder-int8"],
+                    help="int8 decoder tail (io/quant.py) — calibrated on "
+                         "a small random batch (valid for timing; accuracy "
+                         "evidence lives in tests/test_quant.py on the "
+                         "trained checkpoint)")
     ap.add_argument("--precision", type=str, default="bf16")
     ap.add_argument("--backbone", type=str, default="mobilenet")
     ap.add_argument("--platforms", type=str, nargs="+", default=None,
@@ -70,11 +76,26 @@ def main():
     v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x0,
                                    False))()
 
+    quant = args.quant.replace("-", "_")
+    quant_scales = None
+    if quant != "none":
+        from s2r_tpu.io.quant import calibrate_decoder_int8
+
+        # small random batch: activation magnitudes, not accuracy, are all
+        # a timing calibration needs (accuracy bar: tests/test_quant.py)
+        calib = [rng2.rand(1, 257, 513, 3).astype(np.float32)
+                 for rng2 in [np.random.RandomState(1)]]
+        t0 = time.time()
+        quant_scales = calibrate_decoder_int8(model, v["params"],
+                                              v["batch_stats"], calib)
+        print(f"calibrate: {time.time() - t0:.1f}s  scales={quant_scales}")
+
     path = "/tmp/serve_bench.shlo"
     t0 = time.time()
     export_servable(model, v["params"], v["batch_stats"], (n, h, w, 3),
                     path, output=args.output, input=args.input,
                     argmax_res=args.argmax, label_dtype=args.label_dtype,
+                    quant=quant, quant_scales=quant_scales,
                     platforms=args.platforms)
     print(f"export: {time.time() - t0:.1f}s")
     serve = load_servable(path)
@@ -126,6 +147,7 @@ def main():
         _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / args.iters
         amax = "(argmax@decoder)" if args.argmax == "decoder" else ""
+        amax += "(int8-decoder)" if quant != "none" else ""
         print(f"{tag} {args.backbone} {h}x{w} b{n} {args.input}->"
               f"{args.output}{amax} [{args.precision}]: "
               f"{1e3 * dt / n:.2f} ms/image on-device "
@@ -137,7 +159,8 @@ def main():
         time_call(make_serving_fn(model, v["params"], v["batch_stats"],
                                   output=args.output, input=args.input,
                                   argmax_res=args.argmax,
-                                  label_dtype=args.label_dtype),
+                                  label_dtype=args.label_dtype,
+                                  quant=quant, quant_scales=quant_scales),
                   "direct-jit")
         # weights as ARGUMENTS (the eval-step formulation) — isolates the
         # cost of baking weights in as HLO constants

@@ -65,6 +65,20 @@ def main(argv=None):
                              "device->host bytes per frame (labelId PNGs "
                              "are 8-bit anyway); in 'decoder' mode the "
                              "full-res label pass also moves 4x less HBM")
+    parser.add_argument("--serve-quant", type=str, default="none",
+                        choices=["none", "decoder-int8"],
+                        help="'decoder-int8': the decoder head's two 3x3 "
+                             "convs run int8 with folded BN (io/quant.py). "
+                             "Measured SLOWER end-to-end on v5e-1 at "
+                             "full-res b8 (8.83 vs 7.62 ms/image decoder "
+                             "mode — the requant boundary passes eat the "
+                             "isolated 1.72x conv win; PARITY.md "
+                             "§Performance).  Kept for hardware/shapes "
+                             "where int8 convs win bigger.  NOT exact; "
+                             "the default 'none' keeps eval-path numerics")
+    parser.add_argument("--calib-batches", type=int, default=4,
+                        help="val batches used to calibrate int8 activation "
+                             "scales (--serve-quant decoder-int8 only)")
     parser.add_argument("--serve-batch-poly", action="store_true",
                         help="export the batch dim as symbolic")
     parser.add_argument("--serve-platforms", type=str, nargs="+",
@@ -111,17 +125,34 @@ def main(argv=None):
         deeplab = (m.deeplab.clone(logits_dtype=None)
                    if m.deeplab.logits_dtype is not None else m.deeplab)
         n, h, w = args.serve_shape
+        quant = args.serve_quant.replace("-", "_")
+        quant_scales = None
+        if quant != "none":
+            import itertools
+
+            from s2r_tpu.data.loader import make_data_loader
+            from s2r_tpu.io.quant import calibrate_decoder_int8
+
+            _, val_loader, _, _ = make_data_loader(cfg)
+            batches = [b["image"] for b in itertools.islice(
+                iter(val_loader), args.calib_batches)]
+            quant_scales = calibrate_decoder_int8(deeplab, params, bstats,
+                                                  batches)
+            print(f"calibrated int8 scales on {len(batches)} val batches: "
+                  f"{quant_scales}")
         info = export_servable(
             deeplab, params, bstats, (n, h, w, 3), args.out,
             output=args.serve_output, input=args.serve_input,
             argmax_res=args.serve_argmax,
             label_dtype=args.serve_label_dtype,
+            quant=quant, quant_scales=quant_scales,
             platforms=args.serve_platforms,
             batch_polymorphic=args.serve_batch_poly,
             meta={"epoch": t.start_epoch, "best_pred": float(t.best_pred)})
+        q = (f", quant {info['quant']}" if info["quant"] != "none" else "")
         print(f"exported servable ({info['output']}, {info['input']}, "
               f"shape {info['input_shape']}, platforms "
-              f"{info['platforms']}) to {args.out}")
+              f"{info['platforms']}{q}) to {args.out}")
         return
 
     domain = None

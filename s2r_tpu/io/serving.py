@@ -39,6 +39,7 @@ from jax import export as jax_export
 
 from s2r_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 from s2r_tpu.ops.argmax import argmax_first
+from s2r_tpu.ops.resize import resize_bilinear_align_corners
 
 _MAGIC = b"S2RSHLO1"
 
@@ -64,7 +65,9 @@ def _nearest_ac_indices(out_size: int, in_size: int) -> np.ndarray:
 def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
                     input: str = "normalized",
                     argmax_res: str = "full",
-                    label_dtype: str = "int32") -> Callable:
+                    label_dtype: str = "int32",
+                    quant: str = "none",
+                    quant_scales: Optional[dict] = None) -> Callable:
     """Closure over the variables: image batch -> prediction.
 
     output: 'labels' (argmax trainIds, int32), 'logits' (f32 [N,H,W,C]) or
@@ -93,7 +96,23 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
     0.9125 exact (exp/serve_bench.py --argmax decoder, exp/serve_agree.py);
     index-math
     and trained-ckpt agreement tests in tests/test_serving.py.
+
+    quant: 'none' (default — exact model numerics) or 'decoder_int8'
+    (the decoder head's two 3x3 convs run int8 with folded BN; measured
+    SLOWER end-to-end on v5e-1 full-res b8 despite the isolated 1.72x
+    conv-class win — io/quant.py module doc has the verdict).  Requires
+    `quant_scales` from
+    `s2r_tpu.io.quant.calibrate_decoder_int8`.  Composes with every
+    output/argmax_res/label_dtype combination (the quantized tail
+    produces decoder-resolution logits; upsample/argmax/softmax apply
+    downstream with the same semantics as the unquantized path).
     """
+    if quant not in ("none", "decoder_int8"):
+        raise ValueError("quant must be 'none' or 'decoder_int8'")
+    if quant != "none" and not (quant_scales and "a0" in quant_scales
+                                and "a1" in quant_scales):
+        raise ValueError("quant='decoder_int8' needs quant_scales from "
+                         "s2r_tpu.io.quant.calibrate_decoder_int8")
     if output not in _OUTPUTS:
         raise ValueError(f"output must be one of {_OUTPUTS}")
     if argmax_res not in ("full", "decoder"):
@@ -109,18 +128,32 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
     if label_dtype == "uint8" and deeplab.num_classes > 256:
         raise ValueError("label_dtype='uint8' needs num_classes <= 256")
     out_dtype = jnp.int32 if label_dtype == "int32" else jnp.uint8
-    if argmax_res == "decoder":
+    if argmax_res == "decoder" or quant != "none":
         deeplab = deeplab.clone(upsample_logits=False)
     variables = {"params": params, "batch_stats": batch_stats}
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
     std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    if quant != "none":
+        from s2r_tpu.io.quant import backbone_taps, make_decoder_tail
+
+        tail = make_decoder_tail(params["decoder"], batch_stats["decoder"],
+                                 scales=quant_scales,
+                                 compute_dtype=deeplab.dtype)
 
     def fn(image):
         full_hw = image.shape[1:3]
         if input == "rgb8":
             image = (image.astype(jnp.float32) - mean) / std
-        logits, _ = deeplab.apply(variables, image, False)
-        logits = logits.astype(jnp.float32)
+        if quant != "none":
+            feat, low = backbone_taps(deeplab, variables, image)
+            logits = tail(feat, low)  # decoder-res, f32
+            if output != "labels" or argmax_res == "full":
+                # reproduce the composite's final upsample (deeplab.py:94-98)
+                logits = resize_bilinear_align_corners(logits, full_hw,
+                                                       dtype=jnp.float32)
+        else:
+            logits, _ = deeplab.apply(variables, image, False)
+            logits = logits.astype(jnp.float32)
         if output == "labels":
             # argmax_first (two simple reduces) wins at decoder resolution
             # (7.86 -> 7.61 ms/image) but XLA compiles it pathologically
@@ -151,6 +184,8 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
                     input: str = "normalized",
                     argmax_res: str = "full",
                     label_dtype: str = "int32",
+                    quant: str = "none",
+                    quant_scales: Optional[dict] = None,
                     platforms: Optional[Sequence[str]] = None,
                     batch_polymorphic: bool = False,
                     meta: Optional[dict] = None) -> dict:
@@ -173,7 +208,8 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
         platforms = [jax.default_backend()]
     fn = make_serving_fn(deeplab, params, batch_stats, output=output,
                          input=input, argmax_res=argmax_res,
-                         label_dtype=label_dtype)
+                         label_dtype=label_dtype, quant=quant,
+                         quant_scales=quant_scales)
     dtype = jnp.uint8 if input == "rgb8" else jnp.float32
     if batch_polymorphic:
         # '_' placeholders take the concrete trailing dims from input_shape
@@ -187,6 +223,9 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
     blob = exported.serialize()
     info = {"format": "jax.export", "output": output, "input": input,
             "argmax_res": argmax_res, "label_dtype": label_dtype,
+            "quant": quant,
+            "quant_scales": ({k: float(v) for k, v in quant_scales.items()}
+                             if quant != "none" else None),
             "input_shape": list(input_shape),
             "input_dtype": str(np.dtype(dtype)),
             "batch_polymorphic": bool(batch_polymorphic),
