@@ -110,7 +110,8 @@ def backbone_taps(deeplab, variables, image):
 
 def make_decoder_tail(dec_params, dec_stats, *, scales: Dict[str, float],
                       compute_dtype=jnp.float32,
-                      quantize: bool = True) -> Callable:
+                      quantize: bool = True,
+                      requant: str = "auto") -> Callable:
     """(aspp_feat, low_level_feat) -> decoder-resolution logits (f32).
 
     Replicates models/decoder.py eval-mode exactly (dropout off, BN in
@@ -120,7 +121,19 @@ def make_decoder_tail(dec_params, dec_stats, *, scales: Dict[str, float],
 
     scales: {'a0': concat-input scale, 'a1': conv-1-input scale} from
     `calibrate_decoder_int8` (ignored when quantize=False).
+
+    requant: how the s32->s8 pass between the convs is lowered —
+    'xla' (the fused clamp/convert chain), 'pallas'
+    (ops/pallas/requant.py tile kernel; same values bit-for-bit —
+    exp/requant_probe.py measured the XLA lowering ~8x off roofline at
+    the production shape), or 'auto' (pallas on TPU, xla elsewhere).
+    Single-platform TPU exports serialize the Pallas custom call fine;
+    pass 'xla' for multi-platform artifacts.
     """
+    if requant not in ("auto", "xla", "pallas"):
+        raise ValueError("requant must be 'auto', 'xla' or 'pallas'")
+    if requant == "auto":
+        requant = "pallas" if jax.default_backend() == "tpu" else "xla"
     w_low, b_low = fold_bn(dec_params["conv1"]["kernel"],
                            dec_params["bn1"], dec_stats["bn1"])
     w0, b0 = fold_bn(dec_params["last_conv_0"]["kernel"],
@@ -158,9 +171,14 @@ def make_decoder_tail(dec_params, dec_stats, *, scales: Dict[str, float],
         if quantize:
             qy = jnp.concatenate([quant_in(x), quant_in(low)], axis=-1)
             s32 = _conv(qy, jnp.asarray(q0), pad1, jnp.int32)
-            z = s32.astype(jnp.float32) * m0 + b0
             # clamp-to-[0,127] IS the ReLU + requant for conv #2
-            q2 = jnp.clip(jnp.round(z / a1), 0, 127).astype(jnp.int8)
+            if requant == "pallas":
+                from s2r_tpu.ops.pallas.requant import requant_s32_to_s8
+
+                q2 = requant_s32_to_s8(s32, m0, b0, jnp.float32(1.0 / a1))
+            else:
+                z = s32.astype(jnp.float32) * m0 + b0
+                q2 = jnp.clip(jnp.round(z / a1), 0, 127).astype(jnp.int8)
             s32 = _conv(q2, jnp.asarray(q1), pad1, jnp.int32)
             z = s32.astype(jnp.float32) * m1 + b1
             z = jnp.maximum(z, 0).astype(cd)

@@ -67,7 +67,8 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
                     argmax_res: str = "full",
                     label_dtype: str = "int32",
                     quant: str = "none",
-                    quant_scales: Optional[dict] = None) -> Callable:
+                    quant_scales: Optional[dict] = None,
+                    quant_requant: str = "auto") -> Callable:
     """Closure over the variables: image batch -> prediction.
 
     output: 'labels' (argmax trainIds, int32), 'logits' (f32 [N,H,W,C]) or
@@ -106,6 +107,9 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
     output/argmax_res/label_dtype combination (the quantized tail
     produces decoder-resolution logits; upsample/argmax/softmax apply
     downstream with the same semantics as the unquantized path).
+    quant_requant: lowering of the tail's s32->s8 pass ('auto' = Pallas
+    tile kernel on TPU — see io/quant.py / exp/requant_probe.py; 'xla'
+    forced for multi-platform exports by export_servable).
     """
     if quant not in ("none", "decoder_int8"):
         raise ValueError("quant must be 'none' or 'decoder_int8'")
@@ -138,7 +142,8 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
 
         tail = make_decoder_tail(params["decoder"], batch_stats["decoder"],
                                  scales=quant_scales,
-                                 compute_dtype=deeplab.dtype)
+                                 compute_dtype=deeplab.dtype,
+                                 requant=quant_requant)
 
     def fn(image):
         full_hw = image.shape[1:3]
@@ -206,10 +211,13 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
     """
     if platforms is None:
         platforms = [jax.default_backend()]
+    # the Pallas requant custom call only lowers for TPU; multi-platform
+    # quant artifacts fall back to the XLA chain (same values)
+    requant = "auto" if all(p == "tpu" for p in platforms) else "xla"
     fn = make_serving_fn(deeplab, params, batch_stats, output=output,
                          input=input, argmax_res=argmax_res,
                          label_dtype=label_dtype, quant=quant,
-                         quant_scales=quant_scales)
+                         quant_scales=quant_scales, quant_requant=requant)
     dtype = jnp.uint8 if input == "rgb8" else jnp.float32
     if batch_polymorphic:
         # '_' placeholders take the concrete trailing dims from input_shape

@@ -235,3 +235,50 @@ def test_quant_trained_ckpt_agreement(tmp_path):
     assert miou_exact > 0.75, miou_exact  # sanity: ckpt really converged
     assert agree / total > 0.95, agree / total
     assert miou_quant > miou_exact - 0.03, (miou_exact, miou_quant)
+
+
+def test_pallas_requant_matches_xla_chain():
+    """ops/pallas/requant.py (interpret mode) == the XLA requant chain,
+    bit-for-bit, incl. the inv_a folding and the clean-tiling fallback."""
+    from s2r_tpu.ops.pallas.requant import requant_s32_to_s8, requant_xla
+
+    rng = np.random.RandomState(0)
+    m = jnp.asarray(rng.rand(256).astype(np.float32) * 1e-4)
+    b = jnp.asarray(rng.randn(256).astype(np.float32))
+    inv = jnp.float32(1.0 / 0.09)
+    for shape in [(2, 8, 16, 256), (1, 32, 32, 256)]:
+        x = jnp.asarray(rng.randint(-2**20, 2**20, shape, np.int32))
+        got = np.asarray(requant_s32_to_s8(x, m, b, inv, interpret=True))
+        want = np.asarray(requant_xla(x, m * inv, b * inv))
+        assert got.dtype == np.int8
+        np.testing.assert_array_equal(got, want)
+    # rows that don't tile (and a non-128-multiple C) take the XLA fallback
+    x = jnp.asarray(rng.randint(-2**20, 2**20, (3, 5, 7, 96), np.int32))
+    m96, b96 = m[:96], b[:96]
+    np.testing.assert_array_equal(
+        np.asarray(requant_s32_to_s8(x, m96, b96, inv)),
+        np.asarray(requant_xla(x, m96 * inv, b96 * inv)))
+
+
+@slow
+def test_quant_requant_lowerings_agree(small_model, scales):
+    """make_serving_fn(quant_requant='xla') == 'pallas'(interpret) — the
+    serving path produces identical labels under either requant lowering."""
+    from unittest import mock
+
+    import s2r_tpu.ops.pallas.requant as rq
+
+    model, params, bstats = small_model
+    img = _images(seed=11)
+    lx = jax.jit(make_serving_fn(model, params, bstats,
+                                 quant="decoder_int8", quant_scales=scales,
+                                 quant_requant="xla"))(img)
+    orig = rq.requant_s32_to_s8
+    with mock.patch.object(
+            rq, "requant_s32_to_s8",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        lp = jax.jit(make_serving_fn(model, params, bstats,
+                                     quant="decoder_int8",
+                                     quant_scales=scales,
+                                     quant_requant="pallas"))(img)
+    np.testing.assert_array_equal(np.asarray(lx), np.asarray(lp))
