@@ -47,6 +47,10 @@ def main():
                          "a small random batch (valid for timing; accuracy "
                          "evidence lives in tests/test_quant.py on the "
                          "trained checkpoint)")
+    ap.add_argument("--requant", type=str, default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="decoder-int8 only: lowering of the s32->s8 pass "
+                         "between the two int8 convs (io/quant.py)")
     ap.add_argument("--precision", type=str, default="bf16")
     ap.add_argument("--backbone", type=str, default="mobilenet")
     ap.add_argument("--platforms", type=str, nargs="+", default=None,
@@ -96,6 +100,7 @@ def main():
                     path, output=args.output, input=args.input,
                     argmax_res=args.argmax, label_dtype=args.label_dtype,
                     quant=quant, quant_scales=quant_scales,
+                    quant_requant=args.requant,
                     platforms=args.platforms)
     print(f"export: {time.time() - t0:.1f}s")
     serve = load_servable(path)
@@ -147,7 +152,7 @@ def main():
         _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / args.iters
         amax = "(argmax@decoder)" if args.argmax == "decoder" else ""
-        amax += "(int8-decoder)" if quant != "none" else ""
+        amax += f"(int8-decoder/rq={args.requant})" if quant != "none" else ""
         print(f"{tag} {args.backbone} {h}x{w} b{n} {args.input}->"
               f"{args.output}{amax} [{args.precision}]: "
               f"{1e3 * dt / n:.2f} ms/image on-device "
@@ -160,7 +165,8 @@ def main():
                                   output=args.output, input=args.input,
                                   argmax_res=args.argmax,
                                   label_dtype=args.label_dtype,
-                                  quant=quant, quant_scales=quant_scales),
+                                  quant=quant, quant_scales=quant_scales,
+                                  quant_requant=args.requant),
                   "direct-jit")
         # weights as ARGUMENTS (the eval-step formulation) — isolates the
         # cost of baking weights in as HLO constants

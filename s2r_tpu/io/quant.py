@@ -171,14 +171,20 @@ def make_decoder_tail(dec_params, dec_stats, *, scales: Dict[str, float],
         if quantize:
             qy = jnp.concatenate([quant_in(x), quant_in(low)], axis=-1)
             s32 = _conv(qy, jnp.asarray(q0), pad1, jnp.int32)
-            # clamp-to-[0,127] IS the ReLU + requant for conv #2
+            # clamp-to-[0,127] IS the ReLU + requant for conv #2.  Both
+            # lowerings share the SAME pre-folded arithmetic
+            # round(s32*(m0/a1) + b0/a1) — f32 multiplies are exact IEEE
+            # ops, so 'xla' and 'pallas' agree bit-for-bit
+            # (tests/test_quant.py::test_quant_requant_lowerings_agree).
             if requant == "pallas":
                 from s2r_tpu.ops.pallas.requant import requant_s32_to_s8
 
                 q2 = requant_s32_to_s8(s32, m0, b0, jnp.float32(1.0 / a1))
             else:
-                z = s32.astype(jnp.float32) * m0 + b0
-                q2 = jnp.clip(jnp.round(z / a1), 0, 127).astype(jnp.int8)
+                from s2r_tpu.ops.pallas.requant import requant_xla
+
+                inv_a1 = np.float32(1.0 / a1)
+                q2 = requant_xla(s32, m0 * inv_a1, b0 * inv_a1)
             s32 = _conv(q2, jnp.asarray(q1), pad1, jnp.int32)
             z = s32.astype(jnp.float32) * m1 + b1
             z = jnp.maximum(z, 0).astype(cd)

@@ -191,6 +191,7 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
                     label_dtype: str = "int32",
                     quant: str = "none",
                     quant_scales: Optional[dict] = None,
+                    quant_requant: str = "auto",
                     platforms: Optional[Sequence[str]] = None,
                     batch_polymorphic: bool = False,
                     meta: Optional[dict] = None) -> dict:
@@ -213,7 +214,7 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
         platforms = [jax.default_backend()]
     # the Pallas requant custom call only lowers for TPU; multi-platform
     # quant artifacts fall back to the XLA chain (same values)
-    requant = "auto" if all(p == "tpu" for p in platforms) else "xla"
+    requant = quant_requant if all(p == "tpu" for p in platforms) else "xla"
     fn = make_serving_fn(deeplab, params, batch_stats, output=output,
                          input=input, argmax_res=argmax_res,
                          label_dtype=label_dtype, quant=quant,
@@ -232,6 +233,7 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
     info = {"format": "jax.export", "output": output, "input": input,
             "argmax_res": argmax_res, "label_dtype": label_dtype,
             "quant": quant,
+            "quant_requant": requant if quant != "none" else None,
             "quant_scales": ({k: float(v) for k, v in quant_scales.items()}
                              if quant != "none" else None),
             "input_shape": list(input_shape),

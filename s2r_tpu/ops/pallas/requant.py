@@ -32,7 +32,10 @@ from jax.experimental import pallas as pl
 
 # Nominal input-tile budget ~2 MB (CLAUDE.md: Mosaic double-buffers every
 # input block; keep nominal tiles well under the 16 MB scoped-VMEM limit).
+# _MAX_TM caps rows; _TILE_BYTES caps tm*C*4 so wide-channel callers
+# (C >= 512) don't blow the scoped-VMEM budget either.
 _MAX_TM = 2048
+_TILE_BYTES = 2 * 1024 * 1024
 
 
 def _requant_kernel(x_ref, m_ref, b_ref, o_ref):
@@ -41,9 +44,10 @@ def _requant_kernel(x_ref, m_ref, b_ref, o_ref):
     o_ref[...] = z.astype(jnp.int8)
 
 
-def _pick_tm(m_rows: int) -> int:
+def _pick_tm(m_rows: int, c: int) -> int:
     tm = 1
-    while tm < _MAX_TM and m_rows % (tm * 2) == 0:
+    while (tm < _MAX_TM and m_rows % (tm * 2) == 0
+           and tm * 2 * c * 4 <= _TILE_BYTES):
         tm *= 2
     return tm
 
@@ -70,7 +74,7 @@ def requant_s32_to_s8(x, m, b, inv_a=None, *, interpret: bool = False):
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    tm = _pick_tm(rows)
+    tm = _pick_tm(rows, c)
     if not interpret and (tm < 32 or c % 128 != 0):
         return requant_xla(x, mf, bf)  # shapes Mosaic would pad anyway
     xf = x.reshape(rows, c)

@@ -129,6 +129,13 @@ def test_calibration_rejects_empty_and_zero(small_model):
     model, params, bstats = small_model
     with pytest.raises(ValueError, match="at least one"):
         calibrate_decoder_int8(model, params, bstats, [])
+    # all-zero calibration images: a fresh-init model (zero conv biases,
+    # zero-mean/unit-var BN stats) propagates zeros to both tap points, so
+    # the maxima are 0.0 and the degenerate-scales guard must fire rather
+    # than silently producing zero/tiny activation scales
+    with pytest.raises(ValueError, match="degenerate"):
+        calibrate_decoder_int8(model, params, bstats,
+                               [np.zeros((1, 65, 65, 3), np.float32)])
 
 
 @pytest.mark.parametrize("output,argmax_res,label_dtype", [
