@@ -1,11 +1,12 @@
 """N-virtual-device multichip dryrun artifact (VERDICT r2 item 8).
 
-Runs `__graft_entry__.dryrun_multichip(N)` — the FULL output-adapt train
-step jitted over an N-device (N/2)x2 data x spatial mesh (self-provisioned
-virtual CPU devices, same path the driver's multichip check uses) — and
-records the result as MULTICHIP_{N}dev.json so the "dryrun validates to N
-devices" claim has an in-tree artifact.  N defaults to 32; override with
-DRYRUN_N (MULTICHIP_64dev.json was produced with DRYRUN_N=64, a 32x2 mesh).
+Runs `__graft_entry__.dryrun_multichip(N)` — BOTH full train steps
+(output-adapt, then the 3-optimizer feature-adapt) jitted over an N-device
+(N/2)x2 data x spatial mesh (self-provisioned virtual CPU devices, same
+path the driver's multichip check uses) — and records the result as
+MULTICHIP_{N}dev.json so the "dryrun validates to N devices" claim has an
+in-tree artifact.  N defaults to 32; override with DRYRUN_N
+(MULTICHIP_64dev.json was produced with DRYRUN_N=64, a 32x2 mesh).
 
 Usage:  PYTHONPATH=/root/repo:$PYTHONPATH [DRYRUN_N=64] python exp/dryrun32.py
 """
@@ -37,10 +38,12 @@ def main() -> None:
         "ok": err is None,
         "seconds": round(time.time() - t0, 1),
         "error": err,
-        "note": f"full output_adapt train step, {N}-device {N // 2}x2 "
-                f"data x spatial mesh (batch N over 'data', image H over "
-                f"'space' with GSPMD conv halo exchanges), one step on "
-                f"tiny shapes (virtual CPU devices)",
+        "note": f"full output_adapt + feature_adapt train steps, {N}-device "
+                f"{N // 2}x2 data x spatial mesh (batch N over 'data', "
+                f"image H over 'space' with GSPMD conv halo exchanges; "
+                f"feature_adapt shards the 4-way overlapping optimizer "
+                f"partition too), one step each on tiny shapes (virtual "
+                f"CPU devices)",
     }
     out = os.path.join(REPO, f"MULTICHIP_{N}dev.json")
     with open(out, "w") as f:
