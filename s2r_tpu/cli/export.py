@@ -79,6 +79,13 @@ def main(argv=None):
     parser.add_argument("--calib-batches", type=int, default=4,
                         help="val batches used to calibrate int8 activation "
                              "scales (--serve-quant decoder-int8 only)")
+    parser.add_argument("--serve-pad-batch", type=int, default=None,
+                        metavar="P",
+                        help="zero-pad the input batch to P inside the "
+                             "graph and slice the output back (io/serving "
+                             "pad_batch_to) — one compiled shape for ragged "
+                             "batches; NOT a latency win (a padded call "
+                             "costs the full padded-batch time)")
     parser.add_argument("--serve-batch-poly", action="store_true",
                         help="export the batch dim as symbolic")
     parser.add_argument("--serve-platforms", type=str, nargs="+",
@@ -146,6 +153,7 @@ def main(argv=None):
             argmax_res=args.serve_argmax,
             label_dtype=args.serve_label_dtype,
             quant=quant, quant_scales=quant_scales,
+            pad_batch_to=args.serve_pad_batch,
             platforms=args.serve_platforms,
             batch_polymorphic=args.serve_batch_poly,
             meta={"epoch": t.start_epoch, "best_pred": float(t.best_pred)})

@@ -68,7 +68,8 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
                     label_dtype: str = "int32",
                     quant: str = "none",
                     quant_scales: Optional[dict] = None,
-                    quant_requant: str = "auto") -> Callable:
+                    quant_requant: str = "auto",
+                    pad_batch_to: Optional[int] = None) -> Callable:
     """Closure over the variables: image batch -> prediction.
 
     output: 'labels' (argmax trainIds, int32), 'logits' (f32 [N,H,W,C]) or
@@ -110,7 +111,22 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
     quant_requant: lowering of the tail's s32->s8 pass ('auto' = Pallas
     tile kernel on TPU — see io/quant.py / exp/requant_probe.py; 'xla'
     forced for multi-platform exports by export_servable).
+
+    pad_batch_to: if set, the graph zero-pads the input batch N up to
+    this size, runs the whole network at the padded batch, and slices
+    the output back to N — the serve-time analogue of training's
+    `--batch-pad auto`.  Eval-mode BN has no cross-sample coupling, so
+    real-row outputs are identical to an unpadded run.  This trades
+    padded COMPUTE for a fixed compiled shape: a deployer can ship one
+    b8-internal artifact per ragged size instead of distinct graphs.
+    It is NOT a latency optimization — a padded call costs the full
+    padded-batch time (measured refutation for b1 in PARITY.md
+    §Performance) — serving's batch-size cliff is far gentler than the
+    train step's (eval b4 is within 8% of b8 per image), so feed real
+    multiples of 8 when you can.
     """
+    if pad_batch_to is not None and pad_batch_to < 1:
+        raise ValueError("pad_batch_to must be >= 1")
     if quant not in ("none", "decoder_int8"):
         raise ValueError("quant must be 'none' or 'decoder_int8'")
     if quant != "none" and not (quant_scales and "a0" in quant_scales
@@ -147,6 +163,15 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
 
     def fn(image):
         full_hw = image.shape[1:3]
+        n_real = image.shape[0]
+        if pad_batch_to is not None:
+            if n_real > pad_batch_to:
+                raise ValueError(f"batch {n_real} exceeds "
+                                 f"pad_batch_to={pad_batch_to}")
+            if n_real < pad_batch_to:
+                image = jnp.concatenate(
+                    [image, jnp.zeros((pad_batch_to - n_real,)
+                                      + image.shape[1:], image.dtype)])
         if input == "rgb8":
             image = (image.astype(jnp.float32) - mean) / std
         if quant != "none":
@@ -176,10 +201,10 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
                 cols = _nearest_ac_indices(full_hw[1], labels.shape[2])
                 labels = jnp.take(jnp.take(labels, rows, axis=1), cols,
                                   axis=2)
-            return labels
+            return labels[:n_real]  # no-op slice when unpadded
         if output == "probs":
-            return jax.nn.softmax(logits, axis=-1)
-        return logits
+            return jax.nn.softmax(logits[:n_real], axis=-1)
+        return logits[:n_real]
 
     return fn
 
@@ -192,6 +217,7 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
                     quant: str = "none",
                     quant_scales: Optional[dict] = None,
                     quant_requant: str = "auto",
+                    pad_batch_to: Optional[int] = None,
                     platforms: Optional[Sequence[str]] = None,
                     batch_polymorphic: bool = False,
                     meta: Optional[dict] = None) -> dict:
@@ -218,7 +244,8 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
     fn = make_serving_fn(deeplab, params, batch_stats, output=output,
                          input=input, argmax_res=argmax_res,
                          label_dtype=label_dtype, quant=quant,
-                         quant_scales=quant_scales, quant_requant=requant)
+                         quant_scales=quant_scales, quant_requant=requant,
+                         pad_batch_to=pad_batch_to)
     dtype = jnp.uint8 if input == "rgb8" else jnp.float32
     if batch_polymorphic:
         # '_' placeholders take the concrete trailing dims from input_shape
@@ -234,6 +261,7 @@ def export_servable(deeplab, params, batch_stats, input_shape: Sequence[int],
             "argmax_res": argmax_res, "label_dtype": label_dtype,
             "quant": quant,
             "quant_requant": requant if quant != "none" else None,
+            "pad_batch_to": pad_batch_to,
             "quant_scales": ({k: float(v) for k, v in quant_scales.items()}
                              if quant != "none" else None),
             "input_shape": list(input_shape),

@@ -78,6 +78,46 @@ def test_output_kinds(tmp_path, small_model, output):
         np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
 
 
+def test_pad_batch_to_matches_unpadded(tmp_path, small_model):
+    """pad_batch_to: eval-mode BN has no cross-sample coupling, so the
+    padded graph's real-row outputs equal the unpadded graph's (labels
+    exactly; logits to float noise — batch-8 vs batch-2 shapes may fuse
+    differently), the pad rows are sliced away, and the artifact records
+    the option."""
+    model, params, bstats = small_model
+    x = _images(n=2, seed=11)
+    for output in ("labels", "logits"):
+        padded = jax.jit(make_serving_fn(model, params, bstats,
+                                         output=output, pad_batch_to=8))(
+            jnp.asarray(x))
+        plain = jax.jit(make_serving_fn(model, params, bstats,
+                                        output=output))(jnp.asarray(x))
+        assert padded.shape == plain.shape  # pad rows sliced away
+        if output == "labels":
+            np.testing.assert_array_equal(np.asarray(padded),
+                                          np.asarray(plain))
+        else:
+            np.testing.assert_allclose(np.asarray(padded),
+                                       np.asarray(plain),
+                                       rtol=1e-4, atol=1e-5)
+    # over-full batch is a build-time error
+    with pytest.raises(ValueError, match="exceeds"):
+        jax.jit(make_serving_fn(model, params, bstats,
+                                pad_batch_to=1))(jnp.asarray(x))
+    # export path round-trips the option + meta
+    path = str(tmp_path / "pad.shlo")
+    info = export_servable(model, params, bstats, (2, 65, 65, 3), path,
+                           pad_batch_to=4)
+    assert info["pad_batch_to"] == 4
+    serve = load_servable(path)
+    assert serve.meta["pad_batch_to"] == 4
+    got = np.asarray(serve(jnp.asarray(x)))
+    want = np.asarray(jax.jit(make_serving_fn(model, params, bstats))(
+        jnp.asarray(x)))
+    assert got.shape == (2, 65, 65)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_rgb8_ingest_bakes_normalization(tmp_path, small_model):
     """input='rgb8' accepts raw uint8 frames and matches feeding the
     eval-transform-normalized tensor to a 'normalized' artifact."""
