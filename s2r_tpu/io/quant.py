@@ -15,7 +15,9 @@ classifier stay in the model's compute dtype.
 END-TO-END VERDICT (v5e-1, full-res 2048x1024 b8 rgb8->labels decoder
 mode): REFUTED — 8.83 ms/image int8 vs 7.62 exact (exp/serve_bench.py
 --argmax decoder --quant decoder-int8), even with per-branch pre-concat
-quantization.  The quantize/requant boundary passes (full-size
+quantization; re-confirmed in the round-5 three-arm window (8.81 int8
+vs 7.60 exact), where the Pallas requant-boundary kernel also measured
+NEUTRAL (8.82 — the PARITY.md Pallas-requant end-to-end A/B).  The quantize/requant boundary passes (full-size
 elementwise round/clip/cast at the 304-ch concat and between the convs)
 cost more than the halved conv traffic saves in this bandwidth-bound
 regime, and the int8 subgraph breaks XLA's existing conv+BN+ReLU
@@ -124,16 +126,19 @@ def make_decoder_tail(dec_params, dec_stats, *, scales: Dict[str, float],
 
     requant: how the s32->s8 pass between the convs is lowered —
     'xla' (the fused clamp/convert chain), 'pallas'
-    (ops/pallas/requant.py tile kernel; same values bit-for-bit —
-    exp/requant_probe.py measured the XLA lowering ~8x off roofline at
-    the production shape), or 'auto' (pallas on TPU, xla elsewhere).
-    Single-platform TPU exports serialize the Pallas custom call fine;
-    pass 'xla' for multi-platform artifacts.
+    (ops/pallas/requant.py tile kernel; same values bit-for-bit), or
+    'auto' (= 'xla', the measured default).  The end-to-end A/B on v5e
+    (PARITY.md §Performance, Pallas-requant end-to-end A/B) measured
+    the two lowerings NEUTRAL at full-res b8 decoder-int8 serving
+    (8.82 pallas vs 8.81 xla ms/image) — the kernel's isolated 1.2x
+    (6.84 vs 8.10 ms, exp/requant_probe.py) does not move the
+    end-to-end number, so 'auto' keeps the simpler custom-call-free
+    lowering that also serializes for any platform.
     """
     if requant not in ("auto", "xla", "pallas"):
         raise ValueError("requant must be 'auto', 'xla' or 'pallas'")
     if requant == "auto":
-        requant = "pallas" if jax.default_backend() == "tpu" else "xla"
+        requant = "xla"
     w_low, b_low = fold_bn(dec_params["conv1"]["kernel"],
                            dec_params["bn1"], dec_stats["bn1"])
     w0, b0 = fold_bn(dec_params["last_conv_0"]["kernel"],

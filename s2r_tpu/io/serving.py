@@ -108,9 +108,9 @@ def make_serving_fn(deeplab, params, batch_stats, *, output: str = "labels",
     output/argmax_res/label_dtype combination (the quantized tail
     produces decoder-resolution logits; upsample/argmax/softmax apply
     downstream with the same semantics as the unquantized path).
-    quant_requant: lowering of the tail's s32->s8 pass ('auto' = Pallas
-    tile kernel on TPU — see io/quant.py / exp/requant_probe.py; 'xla'
-    forced for multi-platform exports by export_servable).
+    quant_requant: lowering of the tail's s32->s8 pass ('auto' = 'xla',
+    the measured default — the Pallas boundary kernel was end-to-end
+    neutral, see io/quant.py; 'pallas' is the A/B arm, TPU-only).
 
     pad_batch_to: if set, the graph zero-pads the input batch N up to
     this size, runs the whole network at the padded batch, and slices
