@@ -86,6 +86,17 @@ def main():
                            method="output_adapt")
         time_step("logits bf16 b8", m_b.step_fn, state, batch)
 
+    if "split_concat" in names:
+        # Config.split_concat arm: ASPP 1280-ch + decoder 304-ch concat
+        # convs as split-kernel sums (no materialized concat; GAP branch
+        # contribution computed at [N,1,1,C]).  Param tree unchanged, so
+        # the baseline state is reused.
+        cfg_s = Config(crop_size=H, base_size=H, batch_size=8, epochs=200,
+                       precision="bf16", split_concat=True)
+        m_s = build_method(cfg_s, iters_per_epoch=1000,
+                           method="output_adapt")
+        time_step("split concat b8", m_s.step_fn, state, batch)
+
     if "segonly" in names:
         from s2r_tpu.train.losses import cross_entropy
         deeplab = m.deeplab

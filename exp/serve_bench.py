@@ -53,6 +53,10 @@ def main():
                          "between the two int8 convs (io/quant.py)")
     ap.add_argument("--precision", type=str, default="bf16")
     ap.add_argument("--backbone", type=str, default="mobilenet")
+    ap.add_argument("--split-concat", action="store_true",
+                    dest="split_concat",
+                    help="concat-free ASPP/decoder head convs "
+                         "(models/deeplab.py split_concat)")
     ap.add_argument("--platforms", type=str, nargs="+", default=None,
                     help="default: current backend only")
     ap.add_argument("--direct", action="store_true",
@@ -75,7 +79,8 @@ def main():
     h, w = args.size
     n = args.batch
     model = DeepLab(backbone=args.backbone, output_stride=16, num_classes=19,
-                    dtype=Policy.from_name(args.precision).compute_dtype)
+                    dtype=Policy.from_name(args.precision).compute_dtype,
+                    split_concat=args.split_concat)
     x0 = jnp.zeros((1, 129, 129, 3), jnp.float32)
     v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x0,
                                    False))()

@@ -132,6 +132,11 @@ class Config:
     # adversarial softmax maps, discriminator input + layout copies, CE
     # input, and their gradients).  Loss reductions stay f32 either way.
     logits_dtype: str = "f32"
+    # Compute the ASPP/decoder concat convs as split-kernel sums instead of
+    # materializing the 1280/304-channel concats (models/deeplab.py
+    # split_concat).  Identical parameter tree and checkpoints; float-sum
+    # reassociation only.  Off by default (exact concat-order arithmetic).
+    split_concat: bool = False
 
     # --- faithful-quirk switches (reference behaviors preserved by default,
     #     see SURVEY.md §2.6; flip to fix) ---
@@ -266,6 +271,11 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                    choices=["f32", "bf16"], dest="logits_dtype",
                    help="dtype of the full-res upsampled logits (bf16 = "
                         "opt-in fast mode; f32 = reference semantics)")
+    p.add_argument("--split-concat", action="store_true",
+                   default=d.split_concat, dest="split_concat",
+                   help="compute the ASPP/decoder concat convs as "
+                        "split-kernel sums (no materialized concat; same "
+                        "checkpoints, float-sum reassociation only)")
     p.add_argument("--no-val", action="store_true", default=d.no_val, dest="no_val")
     p.add_argument("--no-async-save", action="store_false", dest="async_save",
                    default=d.async_save,

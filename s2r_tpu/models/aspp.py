@@ -41,6 +41,12 @@ class ASPP(nn.Module):
     backbone: str = "mobilenet"
     output_stride: int = 16
     dtype: jnp.dtype = jnp.float32
+    # Skip materializing the 5x256=1280-channel concat: feed the branches
+    # to the projection conv as a split-kernel sum (models/layers.py Conv2d
+    # tuple input), with the global-pool branch kept at [N,1,1,256] so its
+    # spatially-constant contribution is computed once and broadcast into
+    # the sum.  Same parameters/checkpoints; float-sum reassociation only.
+    split_concat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -65,10 +71,13 @@ class ASPP(nn.Module):
         g = Conv2d(256, 1, dtype=self.dtype, name="gap_conv")(g)
         g = BatchNorm(dtype=self.dtype, name="gap_bn")(g, not train)
         g = relu(g)
-        x5 = jnp.broadcast_to(g, x4.shape[:3] + (g.shape[-1],))
-
-        y = jnp.concatenate([x1, x2, x3, x4, x5], axis=-1)
-        y = Conv2d(256, 1, dtype=self.dtype, name="conv1")(y)
+        if self.split_concat:
+            y = Conv2d(256, 1, dtype=self.dtype,
+                       name="conv1")((x1, x2, x3, x4, g))
+        else:
+            x5 = jnp.broadcast_to(g, x4.shape[:3] + (g.shape[-1],))
+            y = jnp.concatenate([x1, x2, x3, x4, x5], axis=-1)
+            y = Conv2d(256, 1, dtype=self.dtype, name="conv1")(y)
         y = BatchNorm(dtype=self.dtype, name="bn1")(y, not train)
         y = relu(y)
         y = Dropout(0.5, name="dropout")(y, deterministic=not train)

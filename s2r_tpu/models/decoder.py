@@ -23,6 +23,11 @@ class Decoder(nn.Module):
     num_classes: int = 19
     backbone: str = "mobilenet"
     dtype: jnp.dtype = jnp.float32
+    # Skip materializing the 304-channel concat: feed (upsampled ASPP,
+    # low-level) to the first head conv as a split-kernel sum
+    # (models/layers.py Conv2d tuple input).  Same parameters/checkpoints;
+    # float-sum reassociation only.
+    split_concat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, low_level_feat: jnp.ndarray,
@@ -33,7 +38,8 @@ class Decoder(nn.Module):
         low = relu(low)
 
         x = resize_bilinear_align_corners(x, low.shape[1:3])
-        y = jnp.concatenate([x, low], axis=-1)
+        y = (x, low) if self.split_concat \
+            else jnp.concatenate([x, low], axis=-1)
 
         y = Conv2d(256, 3, padding=1, dtype=self.dtype, name="last_conv_0")(y)
         y = BatchNorm(dtype=self.dtype, name="last_bn_0")(y, not train)

@@ -50,6 +50,11 @@ class DeepLab(nn.Module):
     # nearest-upsamples labels, skipping the full-res 19-channel tensors
     # entirely).  Training/eval always keep the default True.
     upsample_logits: bool = True
+    # Compute the ASPP 1280-ch and decoder 304-ch concat convs as
+    # split-kernel sums instead of materializing the concats (see
+    # models/aspp.py / models/decoder.py).  Same parameter tree; float-sum
+    # reassociation only.  Off by default (exact concat-order arithmetic).
+    split_concat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -88,8 +93,10 @@ class DeepLab(nn.Module):
         high, low = backbone(x, bn_train)
         feat = aspp_cls(backbone=self.backbone,
                         output_stride=eff_os,
+                        split_concat=self.split_concat,
                         dtype=self.dtype, name="aspp")(high, bn_train)
         logits = dec_cls(num_classes=self.num_classes, backbone=self.backbone,
+                         split_concat=self.split_concat,
                          dtype=self.dtype, name="decoder")(feat, low, bn_train)
         if self.upsample_logits:
             logits = resize_bilinear_align_corners(

@@ -89,13 +89,54 @@ class Conv2d(nn.Module):
         + v * sum(kernel).  Used for the reference's fixed_padding BN
         quirk (models/mobilenet.py) at zero cost."""
         kh, kw = _pair(self.kernel_size)
-        in_ch = x.shape[-1]
+        # A tuple/list input means "convolve the channel-concat of these
+        # WITHOUT materializing it": conv is linear in input channels, so
+        # conv(concat(xs), K) == sum_i conv(xs[i], K[:, :, off_i:off_i+c_i]).
+        # The parameter keeps the full concat kernel shape, so checkpoints
+        # and torch import/export are unchanged.  Parts whose spatial dims
+        # are [1, 1] (1x1 convs only) broadcast into the sum — the ASPP
+        # global-pool branch's contribution is spatially constant, so it is
+        # computed at [N,1,1,C] instead of full feature resolution.
+        # Float-sum reassociation only (concat-order arithmetic regrouped).
+        xs = tuple(x) if isinstance(x, (tuple, list)) else None
+        if xs is not None:
+            in_ch = sum(int(a.shape[-1]) for a in xs)
+        else:
+            in_ch = x.shape[-1]
         assert in_ch % self.groups == 0, (in_ch, self.groups)
         kshape = (kh, kw, in_ch // self.groups, self.features)
         init = {"kaiming_normal": kaiming_normal_conv_init,
                 "torch_default": torch_default_conv_init}[self.weight_init]
         kernel = self.param("kernel", init, kshape)
         ph, pw = _pair(self.padding)
+        if xs is not None:
+            assert (self.groups == 1 and fill is None and not self.s2d
+                    and not self.pallas_wminor), \
+                "split-concat conv: grouped/filled/s2d/pallas unsupported"
+            y = None
+            off = 0
+            for a in xs:
+                c = int(a.shape[-1])
+                if a.shape[1:3] == (1, 1) and (kh, kw) != (1, 1):
+                    raise ValueError("[1,1]-spatial split part needs a "
+                                     "1x1 kernel to broadcast")
+                part = lax.conv_general_dilated(
+                    a.astype(self.dtype),
+                    kernel[:, :, off:off + c, :].astype(self.dtype),
+                    window_strides=_pair(self.stride),
+                    padding=((ph, ph), (pw, pw)),
+                    rhs_dilation=_pair(self.dilation),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=1,
+                )
+                y = part if y is None else y + part
+                off += c
+            assert off == in_ch
+            if self.use_bias:
+                bias = self.param("bias", self._bias_init(kh, kw, in_ch),
+                                  (self.features,))
+                y = y + bias.astype(y.dtype)
+            return y.astype(self.dtype)
         xin = x.astype(self.dtype)
         if fill is not None:
             assert self.groups == in_ch and self.features == in_ch, \

@@ -81,7 +81,8 @@ def build_method(cfg: Config, iters_per_epoch: int,
                       dtype=dtype, remat=cfg.remat, pad_stats=cfg.pad_stats,
                       logits_dtype=(jnp.bfloat16
                                     if getattr(cfg, "logits_dtype", "f32")
-                                    == "bf16" else None))
+                                    == "bf16" else None),
+                      split_concat=getattr(cfg, "split_concat", False))
     # Eval always consumes f32 logits: --logits-dtype bf16 is a TRAIN-step
     # bandwidth mode; validation/test numerics stay reference-exact.
     eval_deeplab = (deeplab.clone(logits_dtype=None)
