@@ -36,7 +36,17 @@ def main():
                     help="compare exact vs decoder-mode WITH the int8 "
                          "decoder tail (io/quant.py), calibrated on one "
                          "trained-distribution scene batch")
+    ap.add_argument("--compare", type=str, default="argmax",
+                    choices=["argmax", "split-concat"],
+                    help="argmax: exact vs decoder-argmax fast mode "
+                         "(default).  split-concat: default arithmetic vs "
+                         "models/deeplab.py split_concat=True under the "
+                         "SAME exact full-argmax mode (pins that the "
+                         "concat-free head convs are numerically "
+                         "indistinguishable at deployment precision)")
     args = ap.parse_args()
+    if args.compare == "split-concat" and args.quant != "none":
+        ap.error("--compare split-concat is quant-free")
 
     from s2r_tpu.config import apply_platform_override
     apply_platform_override()  # honor S2R_PLATFORM=cpu (agreement needs no TPU)
@@ -73,9 +83,13 @@ def main():
         print(f"calibrated int8 scales: {quant_scales}")
 
     fn_full = jax.jit(make_serving_fn(deeplab, params, bstats, input="rgb8"))
-    fn_fast = jax.jit(make_serving_fn(deeplab, params, bstats, input="rgb8",
-                                      argmax_res="decoder",
-                                      quant=quant, quant_scales=quant_scales))
+    if args.compare == "split-concat":
+        fn_fast = jax.jit(make_serving_fn(
+            deeplab.clone(split_concat=True), params, bstats, input="rgb8"))
+    else:
+        fn_fast = jax.jit(make_serving_fn(
+            deeplab, params, bstats, input="rgb8", argmax_res="decoder",
+            quant=quant, quant_scales=quant_scales))
 
     @jax.jit
     def compare(pf, pd, lbl):
@@ -103,7 +117,8 @@ def main():
         print(f"batch {b}: running agreement {agree / total:.6f}")
     miou_f, _ = ev_full.Mean_Intersection_over_Union()
     miou_d, _ = ev_fast.Mean_Intersection_over_Union()
-    tag = "decoder-int8" if quant != "none" else "decoder"
+    tag = ("split-concat" if args.compare == "split-concat"
+           else "decoder-int8" if quant != "none" else "decoder")
     print(f"{tag}-vs-full @{h}x{w} b{args.batch} x{args.batches} "
           f"(trained ckpt {args.ckpt}):")
     print(f"  pixel agreement {100.0 * agree / total:.3f}%")

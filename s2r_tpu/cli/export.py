@@ -58,6 +58,14 @@ def main(argv=None):
                              "tensors; measured 7.61 vs 8.35-8.56 ms/image "
                              "full-res b8 on v5e at 99.40%% pixel agreement, "
                              "mIoU -0.004 — PARITY.md §Performance)")
+    parser.add_argument("--serve-split-concat", action="store_true",
+                        dest="serve_split_concat",
+                        help="compute the ASPP/decoder concat convs as "
+                             "split-kernel sums — no materialized 1280/304-"
+                             "channel concat, same checkpoint, float-sum "
+                             "reassociation only (measured 7.21 vs 7.62 "
+                             "ms/image full-res b8 decoder mode on v5e — "
+                             "PARITY.md §Performance)")
     parser.add_argument("--serve-label-dtype", type=str, default="int32",
                         choices=["int32", "uint8"],
                         help="labels output only: uint8 halves nothing "
@@ -131,6 +139,8 @@ def main(argv=None):
         # serve with the f32-logits eval clone, matching the eval path
         deeplab = (m.deeplab.clone(logits_dtype=None)
                    if m.deeplab.logits_dtype is not None else m.deeplab)
+        if args.serve_split_concat:
+            deeplab = deeplab.clone(split_concat=True)
         n, h, w = args.serve_shape
         quant = args.serve_quant.replace("-", "_")
         quant_scales = None

@@ -41,9 +41,11 @@ REGISTRY = {
     "s2r_tpu/ops/argmax.py": (1, [r"7\.86 -> 7\.61"]),
     # --help text cites the decoder-argmax accuracy line and the int8
     # conv-class probe
-    "s2r_tpu/cli/export.py": (2, [
+    "s2r_tpu/cli/export.py": (3, [
         r"99\.40% pixel agreement",
         r"1\.72x",
+        # --serve-split-concat cites the round-5 same-window serving A/B
+        r"7\.62 \| \*\*7\.21\*\*",
     ]),
     # cites the synthetic convergence evidence section
     "s2r_tpu/data/synthetic.py": (1, [
