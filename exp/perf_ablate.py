@@ -97,6 +97,23 @@ def main():
                            method="output_adapt")
         time_step("split concat b8", m_s.step_fn, state, batch)
 
+    if "feature8" in names or "feature_split" in names:
+        # feature-adapt step arms (3-optimizer joint-loss update); the
+        # split_concat arm reuses the baseline feature state (same tree).
+        cfg_f = Config(crop_size=H, base_size=H, batch_size=8, epochs=200,
+                       precision="bf16")
+        m_f = build_method(cfg_f, iters_per_epoch=1000,
+                           method="feature_adapt")
+        state_f = m_f.init_state(jax.random.PRNGKey(0))
+        if "feature8" in names:
+            time_step("feature step b8", m_f.step_fn, state_f, batch)
+        if "feature_split" in names:
+            m_fs = build_method(
+                Config(crop_size=H, base_size=H, batch_size=8, epochs=200,
+                       precision="bf16", split_concat=True),
+                iters_per_epoch=1000, method="feature_adapt")
+            time_step("feature split b8", m_fs.step_fn, state_f, batch)
+
     if "segonly" in names:
         from s2r_tpu.train.losses import cross_entropy
         deeplab = m.deeplab
