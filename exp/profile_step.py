@@ -8,7 +8,8 @@ Usage:
     PYTHONPATH=/root/repo:$PYTHONPATH python exp/profile_step.py [config]
 configs: mobilenet_b8 (default) | resnet101_b4 | resnet101_b8 |
          xception_b8 | drn_b8 | feature_b8 | eval_fullres | serve_fullres |
-         serve_decoder | serve_decoder_int8
+         serve_decoder | serve_decoder_int8 | mobilenet_b8_split |
+         serve_decoder_split
 """
 
 from __future__ import annotations
@@ -59,6 +60,12 @@ CONFIGS = {
                           argmax_res="decoder"),
     "serve_decoder_int8": dict(backbone="mobilenet", batch=8, method="serve",
                                argmax_res="decoder", quant="decoder_int8"),
+    # --split-concat arms (models/deeplab.py split_concat)
+    "mobilenet_b8_split": dict(backbone="mobilenet", batch=8,
+                               method="output_adapt", split_concat=True),
+    "serve_decoder_split": dict(backbone="mobilenet", batch=8,
+                                method="serve", argmax_res="decoder",
+                                split_concat=True),
 }
 
 
@@ -68,7 +75,8 @@ def _serving_fn_and_input(c):
     from s2r_tpu.io.serving import make_serving_fn
 
     cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
-                 precision="bf16", backbone=c["backbone"])
+                 precision="bf16", backbone=c["backbone"],
+                 split_concat=c.get("split_concat", False))
     m = build_method(cfg, 1000, method="output_adapt")
     state = m.init_state(jax.random.PRNGKey(0))
     params, bstats = m.eval_variables(state)
@@ -97,7 +105,8 @@ def build(name):
     out_stride = 8 if c["backbone"] == "drn" else 16
     cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
                  precision="bf16", backbone=c["backbone"],
-                 out_stride=out_stride)
+                 out_stride=out_stride,
+                 split_concat=c.get("split_concat", False))
     if c["method"] == "serve":
         sfn, img = _serving_fn_and_input(c)
         fn = jax.jit(sfn)
@@ -212,7 +221,8 @@ def cost(name, dev_ms=None):
     out_stride = 8 if c["backbone"] == "drn" else 16
     cfg = Config(crop_size=H, base_size=H, batch_size=c["batch"], epochs=200,
                  precision="bf16", backbone=c["backbone"],
-                 out_stride=out_stride)
+                 out_stride=out_stride,
+                 split_concat=c.get("split_concat", False))
     if c["method"] == "serve":
         sfn, img = _serving_fn_and_input(c)
         lowered = jax.jit(sfn).lower(img)
