@@ -57,6 +57,9 @@ def main():
                     dest="split_concat",
                     help="concat-free ASPP/decoder head convs "
                          "(models/deeplab.py split_concat)")
+    ap.add_argument("--stem-s2d", action="store_true", dest="stem_s2d",
+                    help="space-to-depth stem lowering "
+                         "(models/mobilenet.py stem_s2d)")
     ap.add_argument("--platforms", type=str, nargs="+", default=None,
                     help="default: current backend only")
     ap.add_argument("--direct", action="store_true",
@@ -80,7 +83,7 @@ def main():
     n = args.batch
     model = DeepLab(backbone=args.backbone, output_stride=16, num_classes=19,
                     dtype=Policy.from_name(args.precision).compute_dtype,
-                    split_concat=args.split_concat)
+                    split_concat=args.split_concat, stem_s2d=args.stem_s2d)
     x0 = jnp.zeros((1, 129, 129, 3), jnp.float32)
     v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x0,
                                    False))()

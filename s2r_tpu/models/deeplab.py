@@ -55,6 +55,9 @@ class DeepLab(nn.Module):
     # models/aspp.py / models/decoder.py).  Same parameter tree; float-sum
     # reassociation only.  Off by default (exact concat-order arithmetic).
     split_concat: bool = False
+    # Lower the backbone's 3x3/s2 stem via space-to-depth (mobilenet only;
+    # see models/mobilenet.py stem_s2d).  Off by default.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -68,7 +71,8 @@ class DeepLab(nn.Module):
         if self.backbone == "mobilenet":
             backbone = MobileNetV2(output_stride=self.output_stride,
                                    dtype=self.dtype, remat=self.remat,
-                                   pad_stats=self.pad_stats, name="backbone")
+                                   pad_stats=self.pad_stats,
+                                   stem_s2d=self.stem_s2d, name="backbone")
         elif self.backbone in ("resnet", "resnet101", "resnet50"):
             from s2r_tpu.models.resnet import ResNet
 

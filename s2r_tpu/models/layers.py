@@ -72,9 +72,12 @@ class Conv2d(nn.Module):
     use_bias: bool = False
     weight_init: str = "kaiming_normal"  # or 'torch_default'
     dtype: Dtype = jnp.float32  # compute dtype
-    s2d: bool = False  # 4x4/s2/p1 convs only: space-to-depth formulation
-    # (ops/s2d.py) — exact numerics, param shape unchanged.  Measured SLOWER
-    # in the 512x1024 train step (see ops/s2d.py); off by default.
+    s2d: bool = False  # 4x4/s2/p1 and 3x3/s2/p1 convs (even H/W only):
+    # space-to-depth formulation (ops/s2d.py) — exact numerics, param shape
+    # unchanged.  Measured SLOWER on the discriminator's 4x4 convs in the
+    # 512x1024 train step (see ops/s2d.py); the 3x3 variant targets the
+    # C=3 backbone stem where the 3->128 lane pad dominates.  Off by
+    # default.
     pallas_wminor: bool = False  # 4x4/s2/p1 biased convs only: Pallas
     # kernel consuming the producer's W-minor layout (ops/pallas/
     # disc_conv.py) — kills the 19->128 lane-pad relayout at the
@@ -147,7 +150,15 @@ class Conv2d(nn.Module):
                       and _pair(self.dilation) == (1, 1)
                       and self.groups == 1
                       and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
-        use_s2d = self.s2d and is_4x4s2p1
+        # 3x3/s2/p1 (the backbone stems): same trade, 2x2/s1 kernel in s2d
+        # space (ops/s2d.py::conv3x3s2_via_s2d).  Falls back to the direct
+        # conv on odd spatial dims (e.g. 513x513 crops).
+        is_3x3s2p1 = ((kh, kw) == (3, 3) and _pair(self.stride) == (2, 2)
+                      and (ph, pw) == (1, 1)
+                      and _pair(self.dilation) == (1, 1)
+                      and self.groups == 1 and fill is None
+                      and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        use_s2d = self.s2d and (is_4x4s2p1 or is_3x3s2p1)
         if self.pallas_wminor and is_4x4s2p1 and self.use_bias:
             from s2r_tpu.ops.pallas import disc_conv
             bias = self.param("bias", self._bias_init(kh, kw, in_ch),
@@ -160,8 +171,9 @@ class Conv2d(nn.Module):
                                      disc_conv.INTERPRET)
             return y.astype(self.dtype)
         if use_s2d:
-            from s2r_tpu.ops.s2d import conv4x4s2_via_s2d
-            y = conv4x4s2_via_s2d(xin, kernel.astype(self.dtype))
+            from s2r_tpu.ops.s2d import conv3x3s2_via_s2d, conv4x4s2_via_s2d
+            lower = conv4x4s2_via_s2d if is_4x4s2p1 else conv3x3s2_via_s2d
+            y = lower(xin, kernel.astype(self.dtype))
         else:
             # No explicit preferred_element_type: the TPU MXU accumulates
             # bf16 operands in f32 internally, and a widened output dtype

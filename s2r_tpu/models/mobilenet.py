@@ -136,13 +136,18 @@ class MobileNetV2(nn.Module):
     # activations trades spare MXU FLOPs for the scarce resource.
     remat: bool = False
     pad_stats: bool = True  # reference fixed_padding BN-statistics quirk
+    # Lower the 3x3/s2 stem via space-to-depth (ops/s2d.py): the C=3 input
+    # pads 3 -> 128 lanes in the conv operand layout; the s2d input carries
+    # 12.  Same parameter/checkpoints; exact math (f32-accum reassociation
+    # only); silently falls back to the direct conv on odd H/W.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: [N, H, W, 3] -> (high [N,H/os,W/os,320], low [N,H/4,W/4,24])."""
         stem_ch = int(32 * self.width_mult)
         y = Conv2d(stem_ch, 3, stride=2, padding=1, dtype=self.dtype,
-                   name="features_0_conv")(x)
+                   s2d=self.stem_s2d, name="features_0_conv")(x)
         y = BatchNorm(dtype=self.dtype, name="features_0_bn")(y, not train)
         y = relu6(y)
 

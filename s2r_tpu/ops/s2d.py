@@ -16,6 +16,17 @@ than the padded conv reads they replace, so the discriminator keeps direct
 convs and this op stays available (Conv2d(s2d=True)) for configurations
 where the trade differs.  Kept unit-tested (tests/test_ops.py).
 
+MEASURED RESULT 2 (round 5): the 3x3/s2 STEM variant (conv3x3s2_via_s2d,
+MobileNetV2(stem_s2d=True)) is also a refutation in-context — full-res
+2048x1024 b8 decoder-mode serving measured 7.33 vs 7.22 ms/image in a
+same-window A/B against the split-concat control, despite the input
+copy (bf16[8,1024,2048,3], 3.14 ms/step, 6%) and the 5.40 ms stem being
+the profile's targets.  The s2d pad+reshape+transpose of the full-res
+frame is itself a full-res pass through the same 12->128-lane-padded
+layout class it tries to avoid.  Third refutation of the relayout-attack
+class (disc s2d, Pallas W-minor, stem s2d); the copies stand as the
+formulation's ceiling.
+
 Derivation: with pad=1, output row h reads input rows 2h-1..2h+2.  Under
 s2d(2) (input row 2r+a -> s2d row r, sub-row a in {0,1}), those are s2d rows
 h-1..h+1 — a 3-tap kernel with pad=1 in s2d space, where tap dr uses
@@ -56,6 +67,50 @@ def s2d_kernel_4x4s2(k: jnp.ndarray) -> jnp.ndarray:
                         continue
                     out = out.at[dr, dc, a, b].set(k[i, j])
     return out.reshape(3, 3, 4 * c, o)
+
+
+def s2d_kernel_3x3s2(k: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a [3,3,C,O] kernel into its [2,2,4C,O] s2d(2) equivalent.
+
+    With pad=1 and stride 2, output row h reads input rows 2h-1..2h+1 =
+    s2d rows h-1 (sub-row a=1 only) and h (a in {0,1}) — a 2-tap kernel
+    with pad (1, 0) in s2d space.  Tap (dr, a) uses original row
+    i = 2*dr + a - 1 when 0 <= i < 3 (else zero); the s2d pad row holds
+    input rows -2,-1 of which only -1 carries weight — exactly the
+    original zero-pad row.  The bottom/right original pad rows are never
+    read (2h+1 <= H-1 for h < H/2), so no s2d pad is needed there."""
+    kh, kw, c, o = k.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    out = jnp.zeros((2, 2, 2, 2, c, o), k.dtype)
+    for dr in range(2):
+        for a in range(2):
+            i = 2 * dr + a - 1
+            if not 0 <= i < 3:
+                continue
+            for dc in range(2):
+                for b in range(2):
+                    j = 2 * dc + b - 1
+                    if not 0 <= j < 3:
+                        continue
+                    out = out.at[dr, dc, a, b].set(k[i, j])
+    return out.reshape(2, 2, 4 * c, o)
+
+
+def conv3x3s2_via_s2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact equivalent of
+    lax.conv(x, kernel, strides=2, padding=1, NHWC/HWIO) for a 3x3 kernel
+    on even H/W, computed as a 2x2/s1 conv over the space-to-depth(2)
+    input.  Motivation: a C=3 stem input pads 3 -> 128 lanes in the conv's
+    operand layout (a ~42x physical blowup on the full-res frame); the
+    s2d input carries 12 channels (~10.7x), cutting the relayout-copy and
+    conv-read traffic ~4x."""
+    return lax.conv_general_dilated(
+        space_to_depth(x, 2),
+        s2d_kernel_3x3s2(kernel),
+        window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 def conv4x4s2_via_s2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

@@ -84,6 +84,65 @@ def test_conv4x4s2_via_s2d_matches_direct(hw, cin, cout):
                                rtol=1e-3, atol=1e-2)
 
 
+@pytest.mark.parametrize("hw,cin,cout", [
+    ((16, 24), 3, 32),    # backbone stem shape class
+    ((12, 20), 5, 7),
+])
+def test_conv3x3s2_via_s2d_matches_direct(hw, cin, cout):
+    import jax
+    from jax import lax
+
+    from s2r_tpu.ops.s2d import conv3x3s2_via_s2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, *hw, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv3x3s2_via_s2d(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def f_ref(x, k):
+        return jnp.sum(lax.conv_general_dilated(
+            x, k, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+
+    def f_s2d(x, k):
+        return jnp.sum(conv3x3s2_via_s2d(x, k) ** 2)
+
+    gx1, gk1 = jax.grad(f_ref, argnums=(0, 1))(x, k)
+    gx2, gk2 = jax.grad(f_s2d, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_mobilenet_stem_s2d_parity():
+    """DeepLab(stem_s2d=True) matches the default forward on the same
+    params (even H/W), and falls back exactly on odd H/W (513-crop class)."""
+    import jax
+
+    from s2r_tpu.models import DeepLab
+
+    rng = np.random.RandomState(2)
+    base = DeepLab(num_classes=19)
+    fast = DeepLab(num_classes=19, stem_s2d=True)
+    x = jnp.asarray(rng.randn(1, 64, 96, 3), jnp.float32)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(0)}, x))()
+    y0, _ = jax.jit(lambda v: base.apply(v, x))(v)
+    y1, _ = jax.jit(lambda v: fast.apply(v, x))(v)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-4, atol=2e-4)
+    x_odd = jnp.asarray(rng.randn(1, 65, 97, 3), jnp.float32)
+    y0, _ = jax.jit(lambda v: base.apply(v, x_odd))(v)
+    y1, _ = jax.jit(lambda v: fast.apply(v, x_odd))(v)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=0, atol=0)
+
+
 def test_conv2d_s2d_flag_matches_plain():
     """Conv2d(s2d=True) equals the plain conv on the same params, and falls
     back to the direct conv for odd spatial sizes."""
