@@ -21,10 +21,11 @@ from s2r_tpu.train.setup import build_method
 
 
 def bench(backbone, batch, h, w, remat=False, iters=8, method="output_adapt",
-          logits_dtype="f32", batch_pad="auto"):
+          logits_dtype="f32", batch_pad="auto", split_concat=False):
     cfg = Config(crop_size=h, base_size=h, batch_size=batch, epochs=200,
                  precision="bf16", backbone=backbone, remat=remat,
-                 logits_dtype=logits_dtype, batch_pad=batch_pad)
+                 logits_dtype=logits_dtype, batch_pad=batch_pad,
+                 split_concat=split_concat)
     m = build_method(cfg, iters_per_epoch=1000, method=method)
     state = m.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
@@ -43,7 +44,7 @@ def bench(backbone, batch, h, w, remat=False, iters=8, method="output_adapt",
         jax.block_until_ready(state.params)
         dt = (time.perf_counter() - t0) / iters
         print(f"{backbone:10s} {h}x{w} b{batch} remat={int(remat)} "
-              f"logits={logits_dtype}: "
+              f"logits={logits_dtype} split={int(split_concat)}: "
               f"{dt*1e3:8.2f} ms {batch/dt:7.2f} img/s", flush=True)
     except Exception as e:
         print(f"{backbone:10s} {h}x{w} b{batch} remat={int(remat)} "
@@ -52,6 +53,10 @@ def bench(backbone, batch, h, w, remat=False, iters=8, method="output_adapt",
 
 if __name__ == "__main__":
     which = sys.argv[1:] or ["xception", "drn"]
+    if "resnet_split" in which:
+        # same-window split-concat A/B on the resnet101 decoder/ASPP heads
+        bench("resnet101", 8, 512, 1024)
+        bench("resnet101", 8, 512, 1024, split_concat=True)
     if "xception" in which:
         bench("xception", 8, 512, 1024)
     if "drn" in which:
