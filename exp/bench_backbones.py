@@ -57,6 +57,12 @@ if __name__ == "__main__":
         # same-window split-concat A/B on the resnet101 decoder/ASPP heads
         bench("resnet101", 8, 512, 1024)
         bench("resnet101", 8, 512, 1024, split_concat=True)
+    if "xcept_split" in which:
+        bench("xception", 8, 512, 1024)
+        bench("xception", 8, 512, 1024, split_concat=True)
+    if "drn_split" in which:
+        bench("drn", 8, 512, 1024)
+        bench("drn", 8, 512, 1024, split_concat=True)
     if "xception" in which:
         bench("xception", 8, 512, 1024)
     if "drn" in which:
