@@ -37,16 +37,19 @@ def main():
                          "decoder tail (io/quant.py), calibrated on one "
                          "trained-distribution scene batch")
     ap.add_argument("--compare", type=str, default="argmax",
-                    choices=["argmax", "split-concat"],
+                    choices=["argmax", "split-concat", "recipe"],
                     help="argmax: exact vs decoder-argmax fast mode "
                          "(default).  split-concat: default arithmetic vs "
                          "models/deeplab.py split_concat=True under the "
                          "SAME exact full-argmax mode (pins that the "
                          "concat-free head convs are numerically "
-                         "indistinguishable at deployment precision)")
+                         "indistinguishable at deployment precision).  "
+                         "recipe: exact vs the full recommended throughput "
+                         "deployment (decoder-argmax AND split-concat "
+                         "together)")
     args = ap.parse_args()
-    if args.compare == "split-concat" and args.quant != "none":
-        ap.error("--compare split-concat is quant-free")
+    if args.compare != "argmax" and args.quant != "none":
+        ap.error(f"--compare {args.compare} is quant-free")
 
     from s2r_tpu.config import apply_platform_override
     apply_platform_override()  # honor S2R_PLATFORM=cpu (agreement needs no TPU)
@@ -86,6 +89,10 @@ def main():
     if args.compare == "split-concat":
         fn_fast = jax.jit(make_serving_fn(
             deeplab.clone(split_concat=True), params, bstats, input="rgb8"))
+    elif args.compare == "recipe":
+        fn_fast = jax.jit(make_serving_fn(
+            deeplab.clone(split_concat=True), params, bstats, input="rgb8",
+            argmax_res="decoder"))
     else:
         fn_fast = jax.jit(make_serving_fn(
             deeplab, params, bstats, input="rgb8", argmax_res="decoder",
@@ -118,6 +125,7 @@ def main():
     miou_f, _ = ev_full.Mean_Intersection_over_Union()
     miou_d, _ = ev_fast.Mean_Intersection_over_Union()
     tag = ("split-concat" if args.compare == "split-concat"
+           else "recipe(decoder+split)" if args.compare == "recipe"
            else "decoder-int8" if quant != "none" else "decoder")
     print(f"{tag}-vs-full @{h}x{w} b{args.batch} x{args.batches} "
           f"(trained ckpt {args.ckpt}):")
