@@ -116,6 +116,8 @@ class Conv2d(nn.Module):
             assert (self.groups == 1 and fill is None and not self.s2d
                     and not self.pallas_wminor), \
                 "split-concat conv: grouped/filled/s2d/pallas unsupported"
+            full_hw = max((a.shape[1:3] for a in xs),
+                          key=lambda s: s[0] * s[1])
             y = None
             off = 0
             for a in xs:
@@ -123,6 +125,10 @@ class Conv2d(nn.Module):
                 if a.shape[1:3] == (1, 1) and (kh, kw) != (1, 1):
                     raise ValueError("[1,1]-spatial split part needs a "
                                      "1x1 kernel to broadcast")
+                if a.shape[1:3] not in ((1, 1), full_hw):
+                    raise ValueError(
+                        f"split part spatial {a.shape[1:3]} must match "
+                        f"{full_hw} (or be [1,1] under a 1x1 kernel)")
                 part = lax.conv_general_dilated(
                     a.astype(self.dtype),
                     kernel[:, :, off:off + c, :].astype(self.dtype),
