@@ -110,6 +110,44 @@ def test_deeplab_split_concat_same_params_and_output():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_split_concat_sharded_step_matches_single_device():
+    """The split-kernel sum must stay GSPMD-compatible: the 8-device
+    sharded output-adapt step with split_concat=True reproduces the
+    single-device step's losses and BN statistics (the well-conditioned
+    quantities — see test_steps.py for why raw BN-bias gradients are
+    excluded at random init)."""
+    from s2r_tpu.config import Config
+    from s2r_tpu.core.mesh import make_mesh, replicate, shard_batch
+    from s2r_tpu.train.setup import build_method
+
+    hw, n = 32, 8
+    cfg = Config(crop_size=hw, base_size=hw, epochs=2, batch_size=n,
+                 precision="f32", lr=0.01, pad_stats=False,
+                 split_concat=True)
+    m = build_method(cfg, iters_per_epoch=10, method="output_adapt")
+    state = m.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    batch = {
+        "src_image": jnp.asarray(rng.randn(n, hw, hw, 3), jnp.float32),
+        "src_label": jnp.asarray(rng.randint(0, 19, (n, hw, hw)), jnp.int32),
+        "tgt_image": jnp.asarray(rng.randn(n, hw, hw, 3), jnp.float32),
+    }
+    step = jax.jit(m.step_fn)
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    new_state, metrics = step(replicate(state, mesh),
+                              shard_batch(batch, mesh))
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(ref_state.batch_stats),
+                    jax.tree.leaves(new_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_deeplab_split_concat_grads_flow():
     x = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 3))
     model = DeepLab(num_classes=19, split_concat=True)
